@@ -1,0 +1,81 @@
+"""Host-side batch iteration: samplers, static-shape batching, device prefetch.
+
+Replaces the reference's torch DataLoader + ImbalancedDatasetSampler
+(reference src/utils/sampler.py:5-35, num_workers=4 cv2 pipelines) with
+vectorized gathers and an optional double-buffered host->device prefetcher.
+Batch shapes are static: train batches drop the remainder; eval batches pad
+with wraparound and carry a validity mask so jitted steps never recompile.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator, Optional, Tuple
+
+import numpy as np
+
+
+class ImbalancedSampler:
+    """Inverse class-frequency sampling with replacement
+    (reference ImbalancedDatasetSampler, src/utils/sampler.py:5-35)."""
+
+    def __init__(self, labels: np.ndarray, num_samples: Optional[int] = None):
+        labels = np.asarray(labels)
+        counts = np.bincount(labels, minlength=int(labels.max(initial=0)) + 1).astype(np.float64)
+        counts[counts == 0] = 1.0
+        self.weights = 1.0 / counts[labels]
+        self.weights /= self.weights.sum()
+        self.num_samples = num_samples or len(labels)
+        self.n = len(labels)
+
+    def sample(self, rng: np.random.Generator) -> np.ndarray:
+        return rng.choice(self.n, size=self.num_samples, replace=True, p=self.weights)
+
+
+def epoch_batches(
+    n: int,
+    batch_size: int,
+    rng: Optional[np.random.Generator] = None,
+    sampler: Optional[ImbalancedSampler] = None,
+    shuffle: bool = True,
+    drop_last: bool = True,
+) -> Iterator[np.ndarray]:
+    """Yield index arrays of exactly ``batch_size`` (drop_last) or padded with
+    wraparound plus caller-side masking (see ``eval_batches``)."""
+    if sampler is not None:
+        order = sampler.sample(rng or np.random.default_rng())
+    elif shuffle:
+        order = (rng or np.random.default_rng()).permutation(n)
+    else:
+        order = np.arange(n)
+
+    for i in range(0, len(order) - (batch_size - 1 if drop_last else 0), batch_size):
+        chunk = order[i : i + batch_size]
+        if len(chunk) < batch_size:
+            chunk = np.concatenate([chunk, order[: batch_size - len(chunk)]])
+        yield chunk
+
+
+def eval_batches(n: int, batch_size: int) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    """Sequential fixed-size batches with a validity mask for the padded tail."""
+    for i in range(0, n, batch_size):
+        idx = np.arange(i, min(i + batch_size, n))
+        mask = np.ones(batch_size, dtype=bool)
+        if len(idx) < batch_size:
+            mask[len(idx):] = False
+            idx = np.concatenate([idx, np.zeros(batch_size - len(idx), dtype=np.int64)])
+        yield idx, mask
+
+
+def prefetch_to_device(iterator, put: Callable, depth: int = 2):
+    """Double-buffer host batches onto the device: keep ``depth`` batches in
+    flight so host gather overlaps TPU compute (replaces DataLoader
+    pin_memory/num_workers overlap on the GPU reference)."""
+    import collections
+
+    queue = collections.deque()
+    for item in iterator:
+        queue.append(put(item))
+        if len(queue) >= depth:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()

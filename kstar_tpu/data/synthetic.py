@@ -1,0 +1,161 @@
+"""Synthetic KSTAR-like shot fixtures.
+
+The reference's tests require the real KSTAR dataset on disk (reference
+test/test_data.py). Here we generate hermetic synthetic shots — per-shot
+uint8 frame arrays plus interpolated 0D tables with plausible disruption
+dynamics — so the whole stack (ETL -> windows -> loaders -> train -> infer)
+is testable on CPU/TPU with no data dependency.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+import pandas as pd
+
+from ..config import DT_0D, FPS, Schema
+
+
+@dataclass
+class SyntheticShot:
+    shot: int
+    frames: np.ndarray          # (T, H, W, 3) uint8, BGR to match reference cv2 convention
+    ts: pd.DataFrame            # interpolated 0D table with 'time' + feature columns
+    tftsrt: float               # plasma startup time (s)
+    tTQend: float               # thermal quench end time (s)
+    tipminf: float              # current quench (Ip min) time (s)
+    frame_startup: int
+    frame_cutoff: int
+    frame_tTQend: int
+    frame_tipminf: int
+
+
+def _brightness_profile(n_frames: int, frame_startup: int, frame_cutoff: int,
+                        rng: np.random.Generator) -> np.ndarray:
+    """Mean-brightness curve: dark -> plasma glow -> flash near quench -> dark."""
+    b = np.full(n_frames, 8.0)
+    ramp = min(frame_startup + 10, n_frames)
+    b[frame_startup:ramp] = np.linspace(10, 80, ramp - frame_startup)
+    b[ramp:frame_cutoff] = 80 + 10 * np.sin(np.linspace(0, 6, max(frame_cutoff - ramp, 1)))
+    flash = max(frame_cutoff - 5, 0)
+    b[flash:frame_cutoff] = np.linspace(120, 220, frame_cutoff - flash)
+    b[frame_cutoff:] = 6.0
+    return b + rng.normal(0, 2, n_frames)
+
+
+def make_shot(
+    shot: int = 30000,
+    n_frames: int = 256,
+    height: int = 64,
+    width: int = 64,
+    dt: float = DT_0D,
+    features: Optional[List[str]] = None,
+    seed: int = 0,
+) -> SyntheticShot:
+    """Generate one synthetic shot.
+
+    Timeline (in frames at FPS): startup at ~10% of the shot, current quench
+    (tipminf) at ~90%, cutoff right after. The 0D table spans
+    [tftsrt - 4*dt, tipminf + 8*dt] on a uniform dt grid — the same span the
+    reference ETL emits (reference src/generate_numerical_data.py:188-207).
+    """
+    rng = np.random.default_rng(seed + shot)
+    features = features or Schema.INPUT_FEATURES
+
+    frame_startup = int(0.1 * n_frames)
+    frame_cutoff = int(0.92 * n_frames)
+    frame_tipminf = frame_cutoff - 1
+    frame_tTQend = max(frame_tipminf - 8, frame_startup + 1)
+
+    tftsrt = frame_startup / FPS
+    tipminf = frame_tipminf / FPS
+    tTQend = frame_tTQend / FPS
+
+    # --- video frames: radial glow scaled by the brightness profile ---------
+    b = _brightness_profile(n_frames, frame_startup, frame_cutoff, rng)
+    yy, xx = np.mgrid[0:height, 0:width]
+    r = np.sqrt((yy - height / 2) ** 2 + (xx - width / 2) ** 2)
+    glow = np.clip(1.2 - r / (0.6 * max(height, width)), 0.05, 1.0)
+    frames = (
+        b[:, None, None, None] * glow[None, :, :, None]
+        + rng.normal(0, 3, (n_frames, height, width, 3))
+    )
+    frames = np.clip(frames, 0, 255).astype(np.uint8)
+
+    # --- 0D table ------------------------------------------------------------
+    t = np.arange(tftsrt - 4 * dt, tipminf + 8 * dt, dt)
+    n = len(t)
+    phase = np.clip((t - tftsrt) / max(tipminf - tftsrt, 1e-6), 0, 1)
+    # precursor growth toward the quench
+    precursor = np.exp(6 * (phase - 1.0))
+
+    data: Dict[str, np.ndarray] = {"time": t}
+    for j, col in enumerate(features):
+        base = 1.0 + 0.2 * np.sin(2 * np.pi * (t * (0.5 + 0.13 * j) + 0.3 * j))
+        drift = 0.5 * phase if j % 3 == 0 else -0.3 * phase if j % 3 == 1 else 0.0
+        data[col] = (
+            base + drift + (0.8 if j % 2 == 0 else -0.6) * precursor
+            + rng.normal(0, 0.02, n)
+        ).astype(np.float32)
+
+    ts = pd.DataFrame(data)
+    ts.insert(0, "shot", shot)
+    ts["frame_idx"] = np.clip((t * FPS).astype(int), 0, n_frames - 1)
+
+    return SyntheticShot(
+        shot=shot, frames=frames, ts=ts,
+        tftsrt=tftsrt, tTQend=tTQend, tipminf=tipminf,
+        frame_startup=frame_startup, frame_cutoff=frame_cutoff,
+        frame_tTQend=frame_tTQend, frame_tipminf=frame_tipminf,
+    )
+
+
+def make_dataset(
+    n_shots: int = 8,
+    first_shot: int = 30000,
+    n_frames: int = 256,
+    height: int = 64,
+    width: int = 64,
+    dt: float = DT_0D,
+    features: Optional[List[str]] = None,
+    seed: int = 0,
+):
+    """Generate a small multi-shot dataset.
+
+    Returns (shots, disrupt_df, ts_df): the shot-list dataframe carries the
+    same columns as the reference's extended shot log
+    (reference src/generate_modified_shot_log.py:266-281)."""
+    shots = [
+        make_shot(first_shot + i, n_frames=n_frames + 16 * (i % 3),
+                  height=height, width=width, dt=dt, features=features, seed=seed)
+        for i in range(n_shots)
+    ]
+    disrupt_df = pd.DataFrame(
+        {
+            "shot": [s.shot for s in shots],
+            "tftsrt": [s.tftsrt for s in shots],
+            "tTQend": [s.tTQend for s in shots],
+            "tipminf": [s.tipminf for s in shots],
+            "dt": [(s.tipminf - s.tTQend) for s in shots],
+            "frame_startup": [s.frame_startup for s in shots],
+            "frame_cutoff": [s.frame_cutoff for s in shots],
+            "frame_tTQend": [s.frame_tTQend for s in shots],
+            "frame_tipminf": [s.frame_tipminf for s in shots],
+        }
+    )
+    ts_df = pd.concat([s.ts for s in shots], ignore_index=True)
+    return shots, disrupt_df, ts_df
+
+
+def save_dataset(shots: List[SyntheticShot], disrupt_df: pd.DataFrame,
+                 ts_df: pd.DataFrame, root: str) -> None:
+    """Persist to the on-disk layout the framework consumes:
+    root/video/<shot>.npy + root/shot_list.csv + root/ts_data.csv."""
+    os.makedirs(os.path.join(root, "video"), exist_ok=True)
+    for s in shots:
+        np.save(os.path.join(root, "video", f"{s.shot}.npy"), s.frames)
+    disrupt_df.to_csv(os.path.join(root, "shot_list.csv"), index=False)
+    ts_df.to_csv(os.path.join(root, "ts_data.csv"), index=False)

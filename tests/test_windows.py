@@ -1,0 +1,147 @@
+"""Golden tests for the three window/labeling algorithms.
+
+Expectations are computed by hand from the reference semantics
+(reference src/dataset.py:80-96, :343-396, :605-665) on small synthetic
+inputs — the off-by-one details here gate F1 parity.
+"""
+
+import numpy as np
+import pytest
+
+from kstar_tpu.data import windows as W
+
+
+class TestVideoWindows:
+    def test_backward_stride_and_labels(self):
+        # frame_tipminf=100, dist=3 -> dis_frame=97; seq_len=10, startup=50
+        # reversed(range(87, 50, -10)) -> [57, 67, 77, 87]
+        w = W.video_windows(shot=1, frame_startup=50, frame_tipminf=100, seq_len=10, dist=3)
+        np.testing.assert_array_equal(w.starts, [57, 67, 77, 87])
+        np.testing.assert_array_equal(w.labels, [1, 1, 1, 0])
+
+    def test_window_covers_s_plus_1_to_s_plus_seqlen(self):
+        idx = W.video_frame_indices(np.array([57]), seq_len=10)
+        np.testing.assert_array_equal(idx[0], np.arange(58, 68))
+
+    def test_exact_fit_excludes_startup(self):
+        # range(stop) is exclusive of frame_startup itself
+        w = W.video_windows(shot=1, frame_startup=7, frame_tipminf=30, seq_len=10, dist=3)
+        np.testing.assert_array_equal(w.starts, [17])
+        np.testing.assert_array_equal(w.labels, [0])
+
+    def test_empty_when_too_short(self):
+        w = W.video_windows(shot=1, frame_startup=90, frame_tipminf=100, seq_len=21, dist=3)
+        assert len(w) == 0
+
+
+class TestTSWindows:
+    def _times(self, n, dt):
+        return np.arange(n) * dt
+
+    def test_three_zones(self):
+        dt = 0.01
+        seq_len, dist = 21, 3
+        n = 500
+        times = self._times(n, dt)
+        tftsrt = 0.5
+        tipminf = 4.0
+        w = W.ts_windows(1, times, tftsrt, tipminf, seq_len, dist, dt)
+
+        assert len(w) > 0
+        # replicate the reference walk independently
+        exp_starts, exp_labels = [], []
+        idx = int(tftsrt / dt)
+        idx_last = n - seq_len - dist
+        while idx < idx_last:
+            t = times[idx]
+            if tftsrt <= t < tipminf - dt * (2 * seq_len + dist):
+                exp_starts.append(idx); exp_labels.append(1); idx += seq_len // 3
+            elif t < tipminf - dt * (seq_len + dist):
+                exp_starts.append(idx); exp_labels.append(1); idx += seq_len // 7
+            elif t <= tipminf - dt * seq_len + dt:
+                exp_starts.append(idx); exp_labels.append(0); idx += 1
+            elif t > tipminf:
+                break
+            else:
+                idx += seq_len // 3
+        np.testing.assert_array_equal(w.starts, exp_starts)
+        np.testing.assert_array_equal(w.labels, exp_labels)
+        # near-quench zone emits stride-1 disruptive labels
+        assert (w.labels == 0).sum() >= 1
+        dis = w.starts[w.labels == 0]
+        assert np.all(np.diff(dis) == 1)
+
+    def test_disruptive_zone_time_range(self):
+        dt = 0.01
+        seq_len, dist = 21, 3
+        times = self._times(1000, dt)
+        tipminf = 6.0
+        w = W.ts_windows(1, times, 0.2, tipminf, seq_len, dist, dt)
+        t_dis = times[w.starts[w.labels == 0]]
+        assert np.all(t_dis >= tipminf - dt * (seq_len + dist) - 1e-9)
+        assert np.all(t_dis <= tipminf - dt * seq_len + dt + 1e-9)
+
+    def test_gather_inclusive_slice(self):
+        data = np.arange(40, dtype=np.float32).reshape(40, 1)
+        out = W.gather_ts(data, np.array([5]), seq_len=4)
+        np.testing.assert_array_equal(out[0, :, 0], [6, 7, 8, 9])
+
+
+class TestMultimodalWindows:
+    def _setup(self, n_rows=400, dt=0.01, tftsrt=0.3, tipminf=3.5,
+               frame_startup=30, frame_tipminf=350):
+        times = np.arange(n_rows) * dt
+        return times, tftsrt, tipminf, frame_startup, frame_tipminf
+
+    def test_basic_pairing(self):
+        times, tftsrt, tipminf, fs, ft = self._setup()
+        mw = W.multimodal_windows(1, times, tftsrt, tipminf, fs, ft,
+                                  n_frames=400, seq_len=21, dist=3, dt=0.01, tau=1)
+        assert mw is not None and len(mw) > 0
+        assert len(mw.video_starts) == len(mw.ts_starts) == len(mw.labels)
+        # disruptive labels exist and are the windows nearest the quench
+        assert (mw.labels == 0).sum() >= 1
+        dis_frame = ft - 3 - 21
+        assert np.all(mw.video_starts[mw.labels == 0] >= dis_frame - 1)
+
+    def test_near_quench_stride_one(self):
+        times, tftsrt, tipminf, fs, ft = self._setup()
+        mw = W.multimodal_windows(1, times, tftsrt, tipminf, fs, ft,
+                                  n_frames=400, seq_len=21, dist=3, dt=0.01, tau=1)
+        # first dist+1 emitted windows step by 1 (diff<=dist zone)
+        v = mw.video_starts
+        assert v[0] - v[1] == 1 and v[1] - v[2] == 1
+
+    def test_skip_too_short(self):
+        times = np.arange(50) * 0.01
+        mw = W.multimodal_windows(1, times, 0.0, 0.4, 5, 20,
+                                  n_frames=60, seq_len=21, dist=3, dt=0.01, tau=1)
+        assert mw is None
+
+    def test_video_frame_offsets_tau(self):
+        # reference: video_path[idx+tau*L+1 : idx+1 : -tau][::-1]
+        for tau, L, s in [(1, 21, 10), (4, 21, 100), (2, 3, 0)]:
+            path = list(range(1000))
+            expected = path[s + tau * L + 1 : s + 1 : -tau][::-1]
+            got = W.multimodal_video_frame_indices(np.array([s]), L, tau)[0]
+            np.testing.assert_array_equal(got, expected)
+
+    def test_ts_window_tau_subsample(self):
+        data = np.arange(100, dtype=np.float32).reshape(100, 1)
+        # reference: .loc[s+1 : s+L*tau].values[::tau]
+        s, L, tau = 10, 5, 3
+        expected = data[s + 1 : s + L * tau + 1 : tau, 0]
+        got = W.gather_ts(data, np.array([s]), L, tau)[0, :, 0]
+        np.testing.assert_array_equal(got, expected)
+
+
+class TestInferenceWindows:
+    def test_stride1_sweep(self):
+        starts = W.inference_video_starts(frame_cutoff=100, seq_len=21)
+        assert starts[0] == 0 and starts[-1] == 79
+        assert len(starts) == 80
+
+
+def test_class_counts():
+    labels = np.array([0, 1, 1, 1, 0])
+    np.testing.assert_array_equal(W.class_counts(labels), [2, 3])
