@@ -1,0 +1,214 @@
+"""ViViT — factorized space/time video transformer (ViViT Model 2).
+
+Rebuild of reference src/models/ViViT.py: patch embedding, learnable
+(1, T, N+1, dim) positional embedding, per-frame spatial cls token, spatial
+transformer over each frame's 65 tokens, temporal cls token, temporal
+transformer over T+1 tokens, cls/mean pool, LayerNorm+ELU MLP head.
+
+TPU-first notes:
+  * channels-last input (B, T, H, W, C); patchify is a reshape/transpose that
+    XLA fuses into the embedding matmul (one big (B*T*N, p*p*C) x (p*p*C, D)
+    MXU op);
+  * spatial attention batches (B*T) sequences of 65 tokens into single
+    einsums — no per-frame loop;
+  * pre-norm blocks, bf16 compute, fp32 softmax/LayerNorm;
+  * optionally dispatches attention to the fused Pallas kernel
+    (ops/attention.py) when the shapes warrant it.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+class MHSA(nn.Module):
+    """Multi-head self-attention with explicit d_head (reference Attention,
+    src/models/ViViT.py:50-91): inner_dim = n_heads*d_head; output projection
+    skipped iff single head with d_head == dim."""
+    dim: int
+    n_heads: int = 3
+    d_head: int = 64
+    dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        B, N, _ = x.shape
+        h, dh = self.n_heads, self.d_head
+        inner = h * dh
+        project_out = not (h == 1 and dh == self.dim)
+
+        qkv = nn.Dense(inner * 3, use_bias=False, dtype=self.dtype, name="to_qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(B, N, h, dh).transpose(0, 2, 1, 3)
+        k = k.reshape(B, N, h, dh).transpose(0, 2, 1, 3)
+        v = v.reshape(B, N, h, dh).transpose(0, 2, 1, 3)
+
+        if self.use_pallas:
+            from ..ops.attention import fused_attention
+            out = fused_attention(q, k, v, scale=dh ** -0.5)
+        else:
+            logits = jnp.einsum("bhid,bhjd->bhij", q, k).astype(jnp.float32) * (dh ** -0.5)
+            attn = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+            out = jnp.einsum("bhij,bhjd->bhid", attn, v)
+
+        out = out.transpose(0, 2, 1, 3).reshape(B, N, inner)
+        if project_out:
+            out = nn.Dense(self.dim, dtype=self.dtype, name="to_out")(out)
+            out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        return out
+
+
+class PreNormTransformer(nn.Module):
+    """Depth x (PreNorm attention + PreNorm feedforward) with residuals and a
+    final LayerNorm (reference Transformer, src/models/ViViT.py:93-109)."""
+    dim: int
+    depth: int
+    n_heads: int
+    d_head: int
+    mlp_dim: int
+    dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        for i in range(self.depth):
+            a = nn.LayerNorm(dtype=jnp.float32, name=f"attn_norm_{i}")(x).astype(self.dtype)
+            a = MHSA(self.dim, self.n_heads, self.d_head, self.dropout, self.dtype,
+                     self.use_pallas, name=f"attn_{i}")(a, deterministic)
+            x = x + a
+            f = nn.LayerNorm(dtype=jnp.float32, name=f"ff_norm_{i}")(x).astype(self.dtype)
+            f = nn.Dense(self.mlp_dim, dtype=self.dtype, name=f"ff1_{i}")(f)
+            f = nn.gelu(f)
+            f = nn.Dropout(self.dropout)(f, deterministic=deterministic)
+            f = nn.Dense(self.dim, dtype=self.dtype, name=f"ff2_{i}")(f)
+            f = nn.Dropout(self.dropout)(f, deterministic=deterministic)
+            x = x + f
+        return nn.LayerNorm(dtype=jnp.float32, name="final_norm")(x).astype(self.dtype)
+
+
+def patchify(x: jnp.ndarray, patch: int) -> jnp.ndarray:
+    """(B, T, H, W, C) -> (B, T, N, patch*patch*C).
+
+    Token feature layout matches the reference einops rearrange
+    'b t c (h p1) (w p2) -> b t (h w) (p1 p2 c)'."""
+    B, T, H, W, C = x.shape
+    hh, ww = H // patch, W // patch
+    x = x.reshape(B, T, hh, patch, ww, patch, C)
+    x = x.transpose(0, 1, 2, 4, 3, 5, 6)           # B T hh ww p1 p2 C
+    return x.reshape(B, T, hh * ww, patch * patch * C)
+
+
+class ViViTEncoder(nn.Module):
+    """Encoder emitting the (B, dim) latent (reference ViViTEncoder,
+    src/models/ViViT.py:226-299)."""
+    image_size: int = 128
+    patch_size: int = 16
+    n_frames: int = 21
+    dim: int = 128
+    depth: int = 2
+    n_heads: int = 4
+    d_head: int = 64
+    scale_dim: int = 8
+    dropout: float = 0.1
+    embedd_dropout: float = 0.1
+    pool: str = "cls"
+    in_channels: int = 3
+    dtype: Dtype = jnp.float32
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        det = not train
+        B, T = x.shape[0], x.shape[1]
+        n_patches = (self.image_size // self.patch_size) ** 2
+
+        x = x.astype(self.dtype)
+        x = patchify(x, self.patch_size)
+        x = nn.Dense(self.dim, dtype=self.dtype, name="patch_embed")(x)  # (B,T,N,D)
+
+        space_token = self.param("space_token", nn.initializers.normal(1.0),
+                                 (1, 1, self.dim), jnp.float32)
+        temporal_token = self.param("temporal_token", nn.initializers.normal(1.0),
+                                    (1, 1, self.dim), jnp.float32)
+        pos = self.param("pos_embedding", nn.initializers.normal(1.0),
+                         (1, self.n_frames, n_patches + 1, self.dim), jnp.float32)
+
+        cls_s = jnp.broadcast_to(space_token.astype(self.dtype), (B, T, 1, self.dim))
+        x = jnp.concatenate([cls_s, x], axis=2)                    # (B,T,N+1,D)
+        x = x + pos[:, :T, : x.shape[2]].astype(self.dtype)
+        x = nn.Dropout(self.embedd_dropout)(x, deterministic=det)
+
+        # spatial transformer over (B*T) sequences of N+1 tokens
+        x = x.reshape(B * T, x.shape[2], self.dim)
+        x = PreNormTransformer(self.dim, self.depth, self.n_heads, self.d_head,
+                               self.dim * self.scale_dim, self.dropout, self.dtype,
+                               self.use_pallas, name="space_transformer")(x, det)
+        x = x[:, 0].reshape(B, T, self.dim)                        # spatial cls
+
+        cls_t = jnp.broadcast_to(temporal_token.astype(self.dtype), (B, 1, self.dim))
+        x = jnp.concatenate([cls_t, x], axis=1)                    # (B,T+1,D)
+        x = PreNormTransformer(self.dim, self.depth, self.n_heads, self.d_head,
+                               self.dim * self.scale_dim, self.dropout, self.dtype,
+                               self.use_pallas, name="temporal_transformer")(x, det)
+
+        x = x.mean(axis=1) if self.pool == "mean" else x[:, 0]
+        return x.astype(jnp.float32)
+
+
+class ViViT(nn.Module):
+    """Encoder + LayerNorm/ELU MLP head (reference ViViT, src/models/ViViT.py:111-224)."""
+    image_size: int = 128
+    patch_size: int = 16
+    n_frames: int = 21
+    n_classes: int = 2
+    dim: int = 128
+    depth: int = 2
+    n_heads: int = 4
+    d_head: int = 64
+    scale_dim: int = 8
+    dropout: float = 0.1
+    embedd_dropout: float = 0.1
+    pool: str = "cls"
+    in_channels: int = 3
+    alpha: float = 1.0
+    dtype: Dtype = jnp.float32
+    use_pallas: bool = False
+
+    def setup(self):
+        self.encoder = ViViTEncoder(
+            self.image_size, self.patch_size, self.n_frames, self.dim, self.depth,
+            self.n_heads, self.d_head, self.scale_dim, self.dropout,
+            self.embedd_dropout, self.pool, self.in_channels, self.dtype,
+            self.use_pallas,
+        )
+        self.mlp_fc1 = nn.Dense(self.dim // 2, dtype=jnp.float32)
+        self.mlp_ln = nn.LayerNorm(dtype=jnp.float32)
+        self.mlp_fc2 = nn.Dense(self.n_classes, dtype=jnp.float32)
+
+    def classify(self, latent: jnp.ndarray) -> jnp.ndarray:
+        x = self.mlp_fc1(latent)
+        x = self.mlp_ln(x)
+        x = nn.elu(x)
+        return self.mlp_fc2(x)
+
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        return self.classify(self.encoder(x, train))
+
+    def encode(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Pooled latent — also the GB fusion latent (the reference hooks
+        vis_model.mlp[0]'s input, src/models/MultiModal.py:95-97, which is
+        exactly the encoder output)."""
+        return self.encoder(x, train=False)
+
+    def forward_with_latent(self, x: jnp.ndarray, train: bool = False):
+        h = self.encoder(x, train)
+        return self.classify(h), h

@@ -1,0 +1,277 @@
+"""Jitted train/eval steps + epoch drivers.
+
+Rebuild of reference src/train.py (train_per_epoch/valid_per_epoch/train/
+train_DRW) designed for XLA:
+
+  * one traced train step per (model, loss_type): class weights, LDAM
+    margins, and GB weights are traced *inputs*, so DRW / dynamic GB never
+    recompile;
+  * the NaN-loss skip guard (reference src/train.py:56-58) is a
+    ``jnp.where`` select inside the step — no host sync;
+  * static batch shapes (loaders drop/pad), donated state;
+  * metrics (macro-F1) accumulate host-side from device preds, exactly like
+    the reference's sklearn f1_score over concatenated epoch predictions.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import LossConfig, TrainConfig
+from ..losses import (classification_loss, drw_weights, gradient_blending_loss,
+                      inverse_freq_weights, ldam_margins)
+from .early_stopping import EarlyStopping
+from .logging import MetricWriter
+from .metrics import accuracy, macro_f1
+from .state import TrainState, save_checkpoint
+
+
+def _model_outputs(model, params, batch_stats, batch, train: bool, rngs, model_type: str):
+    """Apply the model for either modality layout. Returns (outputs, new_stats);
+    outputs is logits or a (multi, vis, ts) tuple for model_type='multi-GB'."""
+    variables = {"params": params, "batch_stats": batch_stats}
+    if model_type == "single":
+        args = (batch,)
+    else:
+        args = (batch["video"], batch["0D"])
+    if train:
+        out, mut = model.apply(variables, *args, train=True, rngs=rngs,
+                               mutable=["batch_stats"])
+        return out, mut.get("batch_stats", batch_stats)
+    out = model.apply(variables, *args, train=False)
+    return out, batch_stats
+
+
+def make_train_step(model, loss_cfg: LossConfig, model_type: str = "single",
+                    loss_scale: float = 1.0) -> Callable:
+    """Build the jitted train step.
+
+    step(state, batch, labels, weight, m_list, gb_w) -> (state, loss, preds)
+    """
+    loss_type = loss_cfg.loss_type
+    gamma = loss_cfg.focal_gamma
+    s = loss_cfg.ldam_s
+
+    def step(state: TrainState, batch, labels, weight, m_list, gb_w):
+        rng = jax.random.fold_in(state.rng, state.step)
+        noise_rng, drop_rng = jax.random.split(rng)
+        rngs = {"noise": noise_rng, "dropout": drop_rng}
+
+        def loss_fn(params):
+            out, new_stats = _model_outputs(model, params, state.batch_stats,
+                                            batch, True, rngs, model_type)
+            if model_type == "multi-GB":
+                out_multi, out_vis, out_ts = out
+                loss = gradient_blending_loss(
+                    out_multi, out_vis, out_ts, labels, gb_w,
+                    loss_type=loss_type, weight=weight, gamma=gamma,
+                    m_list=m_list, s=s, loss_scale=loss_scale,
+                )
+                logits = out_multi
+            else:
+                loss = classification_loss(out, labels, loss_type, weight=weight,
+                                           gamma=gamma, m_list=m_list, s=s)
+                logits = out
+            return loss, (logits, new_stats)
+
+        (loss, (logits, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+
+        # NaN-loss skip guard: keep old state when loss/grads are non-finite
+        finite = jnp.isfinite(loss)
+        grads = jax.tree.map(lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
+        candidate = state.apply_gradients(grads, new_batch_stats=new_stats)
+        sel = lambda new, old: jax.tree.map(lambda n, o: jnp.where(finite, n, o), new, old)
+        new_state = state.replace(
+            step=jnp.where(finite, candidate.step, state.step),
+            params=sel(candidate.params, state.params),
+            batch_stats=sel(candidate.batch_stats, state.batch_stats),
+            opt_state=sel(candidate.opt_state, state.opt_state),
+        )
+        preds = jnp.argmax(logits, axis=-1)
+        return new_state, loss, preds
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_eval_step(model, loss_cfg: LossConfig, model_type: str = "single",
+                   loss_scale: float = 1.0) -> Callable:
+    """eval_step(state, batch, labels, weight, m_list, gb_w, mask)
+    -> (loss, probs, preds); probs = softmax(logits)."""
+    loss_type = loss_cfg.loss_type
+    gamma = loss_cfg.focal_gamma
+    s = loss_cfg.ldam_s
+
+    def step(state: TrainState, batch, labels, weight, m_list, gb_w, mask):
+        out, _ = _model_outputs(model, state.params, state.batch_stats,
+                                batch, False, None, model_type)
+        if model_type == "multi-GB":
+            out_multi, out_vis, out_ts = out
+            loss = gradient_blending_loss(
+                out_multi, out_vis, out_ts, labels, gb_w,
+                loss_type=loss_type, weight=weight, mask=mask,
+                gamma=gamma, m_list=m_list, s=s, loss_scale=loss_scale,
+            )
+            logits = out_multi
+        else:
+            loss = classification_loss(out, labels, loss_type, weight=weight,
+                                       mask=mask, gamma=gamma, m_list=m_list, s=s)
+            logits = out
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        preds = jnp.argmax(logits, axis=-1)
+        return loss, probs, preds
+
+    return jax.jit(step)
+
+
+# ---------------------------------------------------------------------------
+# epoch drivers
+# ---------------------------------------------------------------------------
+
+@dataclass
+class History:
+    train_loss: List[float] = field(default_factory=list)
+    valid_loss: List[float] = field(default_factory=list)
+    train_f1: List[float] = field(default_factory=list)
+    valid_f1: List[float] = field(default_factory=list)
+    train_acc: List[float] = field(default_factory=list)
+    valid_acc: List[float] = field(default_factory=list)
+    best_epoch: int = 0
+    best_f1: float = 0.0
+
+
+def _loss_aux(loss_cfg: LossConfig, cls_counts: np.ndarray, epoch: int, num_epoch: int):
+    """Per-epoch (weight, m_list) arrays for the step fns."""
+    if loss_cfg.use_drw:
+        weight = jnp.asarray(drw_weights(epoch, num_epoch, cls_counts, loss_cfg.drw_beta))
+    elif loss_cfg.use_weighting:
+        weight = jnp.asarray(inverse_freq_weights(cls_counts))
+    else:
+        weight = jnp.ones(len(cls_counts), jnp.float32)
+    m_list = jnp.asarray(ldam_margins(cls_counts, loss_cfg.ldam_max_m))
+    return weight, m_list
+
+
+def run_train_epoch(train_step, state, dataset, batch_size, rng, weight, m_list,
+                    gb_w, sampler=None, put=None):
+    from ..data.loader import epoch_batches
+
+    losses, n_samples = 0.0, 0
+    all_preds, all_labels = [], []
+    for idx in epoch_batches(len(dataset), batch_size, rng, sampler=sampler):
+        batch, labels = dataset.batch(idx)
+        if put is not None:
+            batch, labels = put((batch, labels))
+        state, loss, preds = train_step(state, batch, jnp.asarray(labels),
+                                        weight, m_list, gb_w)
+        losses += float(loss)
+        n_samples += len(idx)
+        all_preds.append(np.asarray(preds))
+        all_labels.append(np.asarray(labels))
+    if n_samples == 0:
+        return state, 0.0, 0.0, 0.0
+    preds = np.concatenate(all_preds)
+    labels = np.concatenate(all_labels)
+    return state, losses / n_samples, accuracy(labels, preds), macro_f1(labels, preds)
+
+
+def run_eval_epoch(eval_step, state, dataset, batch_size, weight, m_list, gb_w,
+                   put=None, collect_probs: bool = False):
+    from ..data.loader import eval_batches
+
+    losses, n_samples = 0.0, 0
+    all_preds, all_labels, all_probs = [], [], []
+    for idx, mask in eval_batches(len(dataset), batch_size):
+        batch, labels = dataset.batch(idx)
+        if put is not None:
+            batch, labels = put((batch, labels))
+        loss, probs, preds = eval_step(state, batch, jnp.asarray(labels),
+                                       weight, m_list, gb_w, jnp.asarray(mask, jnp.float32))
+        losses += float(loss)
+        n_samples += int(mask.sum())
+        all_preds.append(np.asarray(preds)[mask])
+        all_labels.append(np.asarray(labels)[mask])
+        if collect_probs:
+            all_probs.append(np.asarray(probs)[mask])
+    if n_samples == 0:
+        out = (0.0, 0.0, 0.0)
+        return out + ((np.zeros((0, 2)), np.zeros((0,))),) if collect_probs else out
+    preds = np.concatenate(all_preds)
+    labels = np.concatenate(all_labels)
+    res = (losses / n_samples, accuracy(labels, preds), macro_f1(labels, preds))
+    if collect_probs:
+        return res + ((np.concatenate(all_probs), labels),)
+    return res
+
+
+def fit(
+    model,
+    state: TrainState,
+    train_ds,
+    valid_ds,
+    train_cfg: TrainConfig,
+    loss_cfg: LossConfig,
+    model_type: str = "single",
+    tag: str = "model",
+    sampler=None,
+    writer: Optional[MetricWriter] = None,
+    gb_weights: Optional[np.ndarray] = None,
+    num_epoch: Optional[int] = None,
+    put=None,
+) -> Tuple[TrainState, History]:
+    """Epoch driver covering the reference's ``train`` and ``train_DRW``
+    (src/train.py:147-274, :277-422): per-epoch train/valid, metric logging,
+    last/best checkpointing on valid macro-F1, early stopping, optional DRW."""
+    num_epoch = num_epoch or train_cfg.num_epoch
+    train_step = make_train_step(model, loss_cfg, model_type)
+    eval_step = make_eval_step(model, loss_cfg, model_type)
+
+    cls_counts = train_ds.class_counts()
+    gb_w = jnp.asarray(gb_weights if gb_weights is not None else np.zeros(3, np.float32))
+
+    rng = np.random.default_rng(train_cfg.seed)
+    stopper = EarlyStopping(train_cfg.early_stopping_patience,
+                            train_cfg.early_stopping_delta) if train_cfg.early_stopping else None
+    hist = History()
+
+    os.makedirs(train_cfg.weight_dir, exist_ok=True)
+    last_path = os.path.join(train_cfg.weight_dir, f"{tag}_last.ckpt")
+    best_path = os.path.join(train_cfg.weight_dir, f"{tag}_best.ckpt")
+
+    for epoch in range(num_epoch):
+        weight, m_list = _loss_aux(loss_cfg, cls_counts, epoch, num_epoch)
+
+        state, tr_loss, tr_acc, tr_f1 = run_train_epoch(
+            train_step, state, train_ds, train_cfg.batch_size, rng,
+            weight, m_list, gb_w, sampler=sampler, put=put)
+        va_loss, va_acc, va_f1 = run_eval_epoch(
+            eval_step, state, valid_ds, train_cfg.batch_size,
+            weight, m_list, gb_w, put=put)
+
+        hist.train_loss.append(tr_loss); hist.valid_loss.append(va_loss)
+        hist.train_acc.append(tr_acc); hist.valid_acc.append(va_acc)
+        hist.train_f1.append(tr_f1); hist.valid_f1.append(va_f1)
+
+        if writer:
+            writer.scalars({"Loss/train": tr_loss, "Loss/valid": va_loss,
+                            "F1/train": tr_f1, "F1/valid": va_f1}, epoch)
+        if train_cfg.verbose and epoch % train_cfg.verbose == 0:
+            print(f"epoch {epoch+1:3d} | train loss {tr_loss:.4f} f1 {tr_f1:.4f} "
+                  f"| valid loss {va_loss:.4f} f1 {va_f1:.4f}")
+
+        save_checkpoint(state, last_path)
+        improved = stopper(va_f1) if stopper else va_f1 > hist.best_f1
+        if improved:
+            hist.best_f1 = va_f1
+            hist.best_epoch = epoch
+            save_checkpoint(state, best_path, extra={"epoch": epoch, "valid_f1": va_f1})
+        if stopper and stopper.should_stop:
+            print(f"early stopping at epoch {epoch+1}")
+            break
+
+    return state, hist

@@ -1,0 +1,132 @@
+"""Train state + checkpointing.
+
+Unlike the reference (model state_dict only, no optimizer/RNG state —
+reference src/train.py:249-264, no true mid-run resume), the full functional
+state (params, batch_stats, opt_state, step, rng) is checkpointed, giving
+exact resume. Serialization is flax msgpack; best/last policy matches the
+reference tag naming (train_vision_network.py:176-182).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import serialization, struct
+from flax.core import FrozenDict
+
+from ..config import OptimConfig
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    rng: jax.Array
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads, new_batch_stats=None):
+        updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
+        new_params = optax.apply_updates(self.params, updates)
+        return self.replace(
+            step=self.step + 1,
+            params=new_params,
+            batch_stats=new_batch_stats if new_batch_stats is not None else self.batch_stats,
+            opt_state=new_opt_state,
+        )
+
+
+def make_optimizer(cfg: OptimConfig, steps_per_epoch: int = 1) -> optax.GradientTransformation:
+    """Optimizer dispatch + StepLR-style staircase decay + global-norm clip
+    (reference train_vision_network.py:271-290; clip src/train.py:63-64)."""
+    if cfg.use_scheduler:
+        lr = optax.exponential_decay(
+            cfg.lr, transition_steps=cfg.step_size * steps_per_epoch,
+            decay_rate=cfg.gamma, staircase=True,
+        )
+    else:
+        lr = cfg.lr
+
+    name = cfg.optimizer.lower()
+    if name == "sgd":
+        tx = optax.sgd(lr, momentum=0.9)
+    elif name in ("rmsprop", "rmsprops"):
+        tx = optax.rmsprop(lr)
+    elif name == "adam":
+        tx = optax.adam(lr)
+    else:
+        tx = optax.adamw(lr)
+
+    chain = []
+    if cfg.max_norm_grad is not None:
+        chain.append(optax.clip_by_global_norm(cfg.max_norm_grad))
+    chain.append(tx)
+    return optax.chain(*chain)
+
+
+def create_train_state(model, sample_batch, rng: jax.Array, optim_cfg: OptimConfig,
+                       steps_per_epoch: int = 1, apply_args: Optional[tuple] = None) -> TrainState:
+    """Initialize variables with a sample batch and build the optimizer."""
+    init_rng, noise_rng, drop_rng, state_rng = jax.random.split(rng, 4)
+    args = apply_args if apply_args is not None else (sample_batch,)
+    variables = model.init(
+        {"params": init_rng, "noise": noise_rng, "dropout": drop_rng},
+        *args, train=False,
+    )
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", FrozenDict())
+    tx = make_optimizer(optim_cfg, steps_per_epoch)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        rng=state_rng,
+        tx=tx,
+    )
+
+
+# ---------------------------------------------------------------------------
+# checkpointing
+# ---------------------------------------------------------------------------
+
+def save_checkpoint(state: TrainState, path: str, extra: Optional[Dict] = None) -> None:
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    payload = {
+        "step": state.step,
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "rng": state.rng,
+    }
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(jax.device_get(payload)))
+    if extra:
+        import json
+        with open(path + ".json", "w") as f:
+            json.dump(extra, f, indent=2, default=str)
+
+
+def load_checkpoint(state: TrainState, path: str) -> TrainState:
+    """Restore into an existing (template) state, preserving the optimizer fn."""
+    with open(path, "rb") as f:
+        raw = f.read()
+    template = {
+        "step": state.step,
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "rng": state.rng,
+    }
+    restored = serialization.from_bytes(template, raw)
+    return state.replace(**restored)
+
+
+def load_params(state_template: TrainState, path: str):
+    """Restore only (params, batch_stats) for inference."""
+    restored = load_checkpoint(state_template, path)
+    return restored.params, restored.batch_stats

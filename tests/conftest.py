@@ -1,12 +1,21 @@
 """Test configuration: force an 8-device virtual CPU mesh so sharding tests
-run hermetically without TPU hardware."""
+run hermetically without TPU hardware.
+
+Note: the environment pre-imports jax via sitecustomize with
+JAX_PLATFORMS=axon, so plain env mutation is too late — use
+jax.config.update before any backend is initialized.
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pandas as pd
