@@ -1,0 +1,140 @@
+"""Batched on-device video augmentation + normalization (jit-compiled).
+
+Replaces the reference's per-sample cv2 augmentations executed in DataLoader
+worker processes (reference src/dataset.py:124-227) with a single jitted
+function over the whole uint8 batch — the host only gathers bytes; crop,
+augment, normalize, and dtype cast all run on the TPU, fused by XLA.
+
+Faithfulness notes (reference quirks, replicated or documented):
+  * brightness (reference :207-220): offset sampled once per clip from
+    U(-val, val) truncated to int; the positive branch adds and clips to
+    [10, 255]; the reference's negative branch subtracts the (negative)
+    offset — i.e. *adds* |offset| — and horizontally flips each frame; we
+    replicate the add/clip semantics for both signs and fold the flip into
+    the flip augmentation.
+  * contrast (reference :222-227): alpha = int(U(min, max)) — integer
+    truncation means the reference's default (1, 1.25) range is always 1
+    (a no-op). We sample a *float* alpha and document the divergence; set
+    contrast_p=0 for bit-faithful behavior.
+  * randomflip (reference :152-158): the reference flips each frame twice
+    (flip then flip again), a no-op. We implement a real single horizontal
+    flip; set flip_p=0 for bit-faithful behavior.
+  * shifts (reference :161-197): translation is approximated by zeroing the
+    stripe of width |shift| at one edge (the reference copies the
+    complementary region in place, zero-filling the rest) — replicated.
+  * blur (reference :199-203): GaussianBlur k=5, sigma=0 -> cv2 derives
+    sigma = 0.3*((k-1)*0.5 - 1) + 0.8; replicated as a separable depthwise
+    conv.
+  * normalize (reference :201-205): subtract per-channel BGR mean
+    (90, 98, 102).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import PIXEL_MEAN_BGR, AugmentConfig
+
+
+def center_crop(video: jnp.ndarray, crop_size: int) -> jnp.ndarray:
+    """(..., H, W, C) center crop (reference crop, src/dataset.py:232-257)."""
+    H, W = video.shape[-3], video.shape[-2]
+    y0 = H // 2 - crop_size // 2
+    x0 = W // 2 - crop_size // 2
+    return video[..., y0:y0 + crop_size, x0:x0 + crop_size, :]
+
+
+def _gaussian_kernel1d(ksize: int) -> np.ndarray:
+    sigma = 0.3 * ((ksize - 1) * 0.5 - 1) + 0.8  # cv2 sigma-from-ksize rule
+    x = np.arange(ksize) - (ksize - 1) / 2
+    k = np.exp(-(x ** 2) / (2 * sigma ** 2))
+    return (k / k.sum()).astype(np.float32)
+
+
+def _blur_clip(clip: jnp.ndarray, ksize: int) -> jnp.ndarray:
+    """Separable Gaussian blur over (T, H, W, C)."""
+    k = jnp.asarray(_gaussian_kernel1d(ksize))
+    T, H, W, C = clip.shape
+    x = clip.reshape(T, H, W * C)
+    x = jax.vmap(lambda img: jnp.apply_along_axis(
+        lambda col: jnp.convolve(col, k, mode="same"), 0, img))(x)
+    x = x.reshape(T, H, W, C).transpose(0, 2, 1, 3).reshape(T, W, H * C)
+    x = jax.vmap(lambda img: jnp.apply_along_axis(
+        lambda col: jnp.convolve(col, k, mode="same"), 0, img))(x)
+    return x.reshape(T, W, H, C).transpose(0, 2, 1, 3)
+
+
+def _augment_clip(key: jax.Array, clip: jnp.ndarray, cfg: AugmentConfig) -> jnp.ndarray:
+    """All probability-gated augmentations for one (T, H, W, C) float clip."""
+    T, H, W, C = clip.shape
+    keys = jax.random.split(key, 12)
+
+    # brightness
+    bright = jnp.floor(jax.random.uniform(keys[0], (), minval=-cfg.bright_val,
+                                          maxval=cfg.bright_val))
+    do = jax.random.uniform(keys[1]) < cfg.bright_p
+    clip = jnp.where(do, jnp.clip(clip + jnp.abs(bright), 10.0, 255.0), clip)
+
+    # contrast (float alpha; see module docstring)
+    alpha = jax.random.uniform(keys[2], (), minval=cfg.contrast_min, maxval=cfg.contrast_max)
+    do = jax.random.uniform(keys[3]) < cfg.contrast_p
+    clip = jnp.where(do, jnp.clip(jnp.abs(clip * alpha), 0.0, 255.0), clip)
+
+    # gaussian blur
+    do = jax.random.uniform(keys[4]) < cfg.blur_p
+    clip = jnp.where(do, _blur_clip(clip, cfg.blur_k), clip)
+
+    # horizontal flip
+    do = jax.random.uniform(keys[5]) < cfg.flip_p
+    clip = jnp.where(do, clip[:, :, ::-1, :], clip)
+
+    # vertical shift: zero a stripe of height |shift| at top or bottom
+    ratio = jax.random.uniform(keys[6], (), minval=-cfg.vertical_ratio,
+                               maxval=cfg.vertical_ratio)
+    shift = jnp.floor(jnp.abs(ratio) * H).astype(jnp.int32)
+    rows = jnp.arange(H)[None, :, None, None]
+    keep_pos = rows < (H - shift)       # ratio > 0: zero the bottom stripe
+    keep_neg = rows >= (H - shift)      # ratio < 0: keep only the bottom stripe
+    keep = jnp.where(ratio > 0, keep_pos, keep_neg)
+    do = jax.random.uniform(keys[7]) < cfg.vertical_p
+    clip = jnp.where(do & (shift > 0), clip * keep, clip)
+
+    # horizontal shift
+    ratio = jax.random.uniform(keys[8], (), minval=-cfg.horizontal_ratio,
+                               maxval=cfg.horizontal_ratio)
+    shift = jnp.floor(jnp.abs(ratio) * W).astype(jnp.int32)
+    cols = jnp.arange(W)[None, None, :, None]
+    keep_pos = cols < (W - shift)
+    keep_neg = cols >= (W - shift)
+    keep = jnp.where(ratio > 0, keep_pos, keep_neg)
+    do = jax.random.uniform(keys[9]) < cfg.horizontal_p
+    clip = jnp.where(do & (shift > 0), clip * keep, clip)
+
+    return clip
+
+
+@partial(jax.jit, static_argnames=("crop_size", "train", "cfg", "out_dtype"))
+def preprocess_batch(
+    key: jax.Array,
+    video_u8: jnp.ndarray,       # (B, T, H, W, C) uint8
+    crop_size: int,
+    cfg: AugmentConfig = AugmentConfig(),
+    train: bool = True,
+    out_dtype: jnp.dtype = jnp.float32,
+) -> jnp.ndarray:
+    """Crop -> (train-only) augment -> normalize -> cast, batched.
+
+    Output: (B, T, crop, crop, C) in ``out_dtype`` with the per-channel BGR
+    mean subtracted (reference normalize, src/dataset.py:201-205)."""
+    x = center_crop(video_u8, crop_size).astype(jnp.float32)
+    if train:
+        keys = jax.random.split(key, x.shape[0])
+        x = jax.vmap(lambda k, clip: _augment_clip(k, clip, cfg))(keys, x)
+    mean = jnp.asarray(PIXEL_MEAN_BGR, jnp.float32)
+    x = x - mean
+    return x.astype(out_dtype)

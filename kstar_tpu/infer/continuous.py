@@ -1,0 +1,352 @@
+"""Continuous whole-shot disruption-probability sweeps — the north-star path.
+
+The reference runs one window per forward with batch size 1 in a Python loop
+(reference src/utils/utility.py:936-949, visualize_application.py:248-262).
+Here the whole shot's frames are uploaded to HBM once, windows are gathered
+*on device* with a (B, L) index matrix, preprocessing (crop + normalize +
+bf16 cast) fuses into the forward, and the sweep runs in fixed-size batches
+so XLA compiles exactly one program per shape.
+
+Output alignment, startup suppression, interpolation, and smoothing follow
+the reference exactly:
+  * video  (reference generate_prob_curve :896-977):
+      prob = [0]*(seq_len + frame_srt) + probs[1:-1]; zero any p >= 0.5 in
+      the first second; time axis = arange(n)/fps.
+  * 0D     (reference generate_prob_curve_from_0D :979-1066):
+      prob = [0]*(frame_srt + seq_len) + probs[1:] + [0]*seq_len with
+      frame_srt = int(t_start*fps/interval); suppression within
+      fps*1 samples; linear interpolation x interval to frame rate; backward
+      moving average k=12, clipped [0, 1].
+  * multi  (reference generate_prob_curve_from_multi :1068-1178):
+      stride-tau index ladders matched backward from the quench; piecewise
+      time-axis reconstruction + linear interpolation; centered moving
+      average k=16.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+from typing import Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import FPS, AugmentConfig, PIXEL_MEAN_BGR
+
+
+def moving_average(x: np.ndarray, k: int, method: str = "backward") -> np.ndarray:
+    """Moving-average smoothing, clipped to [0, 1]
+    (reference moving_avarage_smoothing, src/utils/utility.py:872-893)."""
+    n = len(x)
+    s = np.zeros(n)
+    if method == "backward":
+        for t in range(n):
+            s[t] = np.mean(x[: t + 1]) if t < k else np.sum(x[t - k: t]) / k
+    else:
+        hw = k // 2
+        for t in range(n):
+            if t < hw:
+                s[t] = np.mean(x[: t + 1])
+            elif t < n - hw:
+                s[t] = np.mean(x[t - hw: t + hw])
+            else:
+                s[t] = np.mean(x[t - hw:])
+    return np.clip(s, 0, 1)
+
+
+def startup_suppression(probs: np.ndarray, n_samples: int) -> np.ndarray:
+    """Zero p >= 0.5 within the first second of the shot (reference
+    src/utils/utility.py:957-960) — suppresses the plasma-startup flash
+    false positive."""
+    out = probs.copy()
+    head = out[:n_samples]
+    head[head >= 0.5] = 0.0
+    out[:n_samples] = head
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Batched device sweeps
+# ---------------------------------------------------------------------------
+
+class VideoSweeper:
+    """Compiled stride-1 sliding-window sweep over on-device frames.
+
+    One jitted step: gather (B, L) windows from the HBM-resident frame
+    array, center-crop, normalize, cast, forward, softmax — fully fused.
+    """
+
+    def __init__(self, model, params, batch_stats, seq_len: int, crop_size: int,
+                 batch_size: int = 64, compute_dtype=jnp.bfloat16):
+        self.seq_len = seq_len
+        self.crop_size = crop_size
+        self.batch_size = batch_size
+
+        offsets = jnp.arange(1, seq_len + 1)  # window s covers frames [s+1, s+L]
+        mean = jnp.asarray(PIXEL_MEAN_BGR, jnp.float32)
+
+        def step(frames_u8, starts):
+            idx = starts[:, None] + offsets[None, :]
+            idx = jnp.clip(idx, 0, frames_u8.shape[0] - 1)
+            win = frames_u8[idx]                                # (B, L, H, W, C)
+            H, W = win.shape[2], win.shape[3]
+            y0 = H // 2 - crop_size // 2
+            x0 = W // 2 - crop_size // 2
+            win = win[:, :, y0:y0 + crop_size, x0:x0 + crop_size, :]
+            x = win.astype(jnp.float32) - mean
+            x = x.astype(compute_dtype)
+            logits = model.apply({"params": params, "batch_stats": batch_stats},
+                                 x, train=False)
+            return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[:, 0]
+
+        self._step = jax.jit(step)
+
+    def sweep(self, frames_u8: np.ndarray, starts: np.ndarray) -> np.ndarray:
+        """Run all window starts; returns p_disrupt per window."""
+        frames_dev = jax.device_put(np.ascontiguousarray(frames_u8))
+        out = np.zeros(len(starts), np.float32)
+        B = self.batch_size
+        for i in range(0, len(starts), B):
+            chunk = starts[i: i + B]
+            pad = B - len(chunk)
+            if pad:
+                chunk = np.concatenate([chunk, np.zeros(pad, chunk.dtype)])
+            probs = np.asarray(self._step(frames_dev, jnp.asarray(chunk)))
+            out[i: i + B - pad if pad else i + B] = probs[: B - pad] if pad else probs
+        return out
+
+
+def predict_video_shot(
+    model, params, batch_stats,
+    frames_u8: np.ndarray,        # (T, H, W, C) the full shot
+    frame_srt: int,
+    frame_end: int,
+    seq_len: int = 21,
+    dist: int = 3,
+    crop_size: int = 128,
+    batch_size: int = 64,
+    fps: float = FPS,
+    compute_dtype=jnp.bfloat16,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Whole-shot video probability curve (reference generate_prob_curve).
+
+    Returns (time_x, prob): prob[i] is the disruption probability at frame i.
+    """
+    # reference slices paths[frame_srt : frame_end + 210]
+    sub = frames_u8[frame_srt: frame_end + int(fps)]
+    n_windows = max(len(sub) - seq_len - dist, 0)
+    starts = np.arange(n_windows, dtype=np.int64)
+
+    sweeper = VideoSweeper(model, params, batch_stats, seq_len, crop_size,
+                           batch_size, compute_dtype)
+    probs = sweeper.sweep(sub, starts)
+
+    prob_list = np.concatenate([
+        np.zeros(seq_len + frame_srt, np.float32),
+        probs[1:-1] if len(probs) > 2 else probs[:0],
+    ])
+    prob_list = startup_suppression(prob_list, int(fps * 1))
+    time_x = np.arange(len(prob_list)) / fps
+    return time_x, prob_list
+
+
+class TSSweeper:
+    """Compiled stride-1 sweep for 0D models."""
+
+    def __init__(self, model, params, batch_stats, seq_len: int,
+                 batch_size: int = 256, tau: int = 1):
+        offsets = 1 + tau * jnp.arange(seq_len)
+
+        def step(data, starts):
+            idx = jnp.clip(starts[:, None] + offsets[None, :], 0, data.shape[0] - 1)
+            x = data[idx]                                        # (B, L, F)
+            logits = model.apply({"params": params, "batch_stats": batch_stats},
+                                 x, train=False)
+            return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[:, 0]
+
+        self._step = jax.jit(step)
+        self.batch_size = batch_size
+
+    def sweep(self, data: np.ndarray, starts: np.ndarray) -> np.ndarray:
+        data_dev = jax.device_put(np.ascontiguousarray(data.astype(np.float32)))
+        out = np.zeros(len(starts), np.float32)
+        B = self.batch_size
+        for i in range(0, len(starts), B):
+            chunk = starts[i: i + B]
+            pad = B - len(chunk)
+            if pad:
+                chunk = np.concatenate([chunk, np.zeros(pad, chunk.dtype)])
+            probs = np.asarray(self._step(data_dev, jnp.asarray(chunk)))
+            out[i: i + len(probs) - pad] = probs[: len(probs) - pad] if pad else probs
+        return out
+
+
+def predict_0d_shot(
+    model, params, batch_stats,
+    shot_values: np.ndarray,      # (T, F) raw (unscaled) shot table values
+    times: np.ndarray,            # (T,) time column
+    scaler,                       # Scaler; refit on this shot (reference quirk,
+                                  # utility.py:499 fit_transform even when given)
+    seq_len: int = 21,
+    dist: int = 3,
+    dt: float = 4.0 / 210.0,
+    batch_size: int = 256,
+    fps: float = FPS,
+    smooth_k: int = 12,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Whole-shot 0D probability curve (reference generate_prob_curve_from_0D,
+    src/utils/utility.py:979-1066): stride-1 windows, pad, suppress, linearly
+    re-interpolate to frame rate, backward moving average."""
+    from ..data.splits import Scaler
+
+    sc = Scaler(scaler.kind if scaler is not None else "Robust").fit(shot_values)
+    data = sc.transform(shot_values)
+
+    n_windows = max(len(data) - seq_len - dist, 0)
+    starts = np.arange(n_windows, dtype=np.int64)
+    sweeper = TSSweeper(model, params, batch_stats, seq_len, batch_size)
+    probs = sweeper.sweep(data, starts)
+
+    interval = int(round(dt * fps))
+    t_start = float(times[0])
+    frame_srt = int(t_start * fps / interval)
+    prob_list = np.concatenate([
+        np.zeros(frame_srt + seq_len, np.float32),
+        probs[1:] if len(probs) > 1 else probs[:0],
+        np.zeros(seq_len, np.float32),
+    ])
+    prob_list = startup_suppression(prob_list, int(fps * 1))
+
+    # linear re-interpolation from the dt grid to the frame grid
+    n = len(prob_list)
+    prob_x = np.linspace(0, n, num=n, endpoint=True) * (interval / fps)
+    fine_x = np.linspace(0, n * interval, num=n * interval, endpoint=True) / fps
+    fine = np.interp(fine_x, prob_x, prob_list)
+    fine = moving_average(fine, smooth_k, "backward")
+
+    time_x = np.arange(len(fine)) / fps
+    return time_x, fine
+
+
+def predict_multimodal_shot(
+    model, params, batch_stats,
+    frames_u8: np.ndarray,
+    shot_values: np.ndarray,
+    times: np.ndarray,
+    scaler,
+    frame_srt: int,
+    frame_end: int,
+    t_srt: float,
+    t_end: float,
+    seq_len: int = 21,
+    dist: int = 3,
+    dt: float = 1.0 / 210.0,
+    tau: int = 1,
+    crop_size: int = 128,
+    batch_size: int = 32,
+    fps: float = FPS,
+    compute_dtype=jnp.bfloat16,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Whole-shot multimodal sweep (reference generate_prob_curve_from_multi,
+    src/utils/utility.py:1068-1178)."""
+    from ..data.splits import Scaler
+
+    if scaler is None:
+        sc = Scaler("Robust").fit(shot_values)
+        data = sc.transform(shot_values)
+    else:
+        data = scaler.transform(shot_values)
+
+    # stride-tau ladders, matched backward (reference utility.py:583-611)
+    video_indices = list(reversed(range(frame_end, frame_srt, -tau)))
+    ts_idx_end = len(times) - int(np.sum(times > t_end))
+    ts_idx_start = int(t_srt / dt)
+    ts_indices = list(reversed(range(ts_idx_end, ts_idx_start, -tau)))
+
+    if len(video_indices) > len(ts_indices):
+        video_indices = video_indices[-len(ts_indices):]
+    elif len(video_indices) < len(ts_indices):
+        ts_indices = ts_indices[-len(video_indices):]
+
+    video_keep = [i for i in video_indices if i > seq_len * tau]
+    ts_keep = [i for i in ts_indices if i > seq_len * tau]
+    m = min(len(video_keep), len(ts_keep))
+    video_keep, ts_keep = video_keep[-m:], ts_keep[-m:]
+    if m == 0:
+        return np.zeros(0), np.zeros(0)
+
+    # device sweep: video window ends at v+1 (frames v+1-tau*(L-1) .. v+1,
+    # reference paths[idx+1 : idx-tau*L+1 : -tau][::-1]); ts window ends at t
+    v_offsets = jnp.asarray(1 - tau * np.arange(seq_len - 1, -1, -1))
+    t_offsets = jnp.asarray(-tau * np.arange(seq_len - 1, -1, -1))
+    mean = jnp.asarray(PIXEL_MEAN_BGR, jnp.float32)
+
+    def step(frames, ts_data, v_starts, t_starts):
+        vi = jnp.clip(v_starts[:, None] + v_offsets[None, :], 0, frames.shape[0] - 1)
+        win = frames[vi]
+        H, W = win.shape[2], win.shape[3]
+        y0, x0 = H // 2 - crop_size // 2, W // 2 - crop_size // 2
+        x = win[:, :, y0:y0 + crop_size, x0:x0 + crop_size, :].astype(jnp.float32) - mean
+        x = x.astype(compute_dtype)
+        ti = jnp.clip(t_starts[:, None] + t_offsets[None, :], 0, ts_data.shape[0] - 1)
+        x_ts = ts_data[ti]
+        out = model.apply({"params": params, "batch_stats": batch_stats},
+                          x, x_ts, train=False)
+        logits = out[0] if isinstance(out, tuple) else out
+        return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[:, 0]
+
+    step = jax.jit(step)
+    frames_dev = jax.device_put(np.ascontiguousarray(frames_u8))
+    ts_dev = jax.device_put(np.ascontiguousarray(data.astype(np.float32)))
+
+    probs = np.zeros(m, np.float32)
+    B = batch_size
+    v_arr = np.asarray(video_keep, np.int64)
+    t_arr = np.asarray(ts_keep, np.int64)
+    for i in range(0, m, B):
+        vc, tc = v_arr[i: i + B], t_arr[i: i + B]
+        pad = B - len(vc)
+        if pad:
+            vc = np.concatenate([vc, np.full(pad, vc[-1])])
+            tc = np.concatenate([tc, np.full(pad, tc[-1])])
+        p = np.asarray(step(frames_dev, ts_dev, jnp.asarray(vc), jnp.asarray(tc)))
+        probs[i: i + B - pad if pad else i + B] = p[: B - pad] if pad else p
+
+    # piecewise time-axis reconstruction (reference utility.py:1136-1160)
+    t_first = float(times[ts_keep[0]])
+    interval = tau
+    dt_end = 1.0
+    head = np.zeros(int(t_first * fps / interval), np.float32)
+    tail = np.zeros(int(dt_end * fps / interval), np.float32)
+    total = np.concatenate([head, probs[1:], tail])
+    total = startup_suppression(total, int(fps / interval))
+
+    x_head = np.arange(len(head)) * interval / fps
+    x_rest = (x_head[-1] if len(x_head) else 0.0) + (np.arange(len(total) - len(head)) + 1) * interval / fps
+    prob_x = np.concatenate([x_head, x_rest])
+    t_last = float(times[ts_keep[-1]])
+    fine_x = np.linspace(0, t_last + dt_end, num=len(total) * interval, endpoint=True)
+    fine = np.interp(fine_x, prob_x, total)
+    fine = moving_average(fine, 16, "center")
+    return fine_x, fine
+
+
+# ---------------------------------------------------------------------------
+# Alarm logic
+# ---------------------------------------------------------------------------
+
+def alarm_times(time_x: np.ndarray, probs: np.ndarray, threshold: float = 0.5,
+                t_min: float = 1.0) -> Optional[float]:
+    """First time the disruption probability crosses the threshold after the
+    startup window (alarm semantics, reference utility.py:843-853)."""
+    mask = (probs > threshold) & (time_x >= t_min)
+    idx = np.argmax(mask)
+    return float(time_x[idx]) if mask.any() else None
+
+
+def warning_time(t_alarm: Optional[float], t_current_quench: float) -> Optional[float]:
+    """Warning margin: how long before the current quench the alarm fired."""
+    if t_alarm is None:
+        return None
+    return t_current_quench - t_alarm

@@ -1,0 +1,3 @@
+from .dp import make_dp_step_fns, replicate_state
+from .mesh import (DATA_AXIS, MODEL_AXIS, batch_sharding, make_mesh, put_batch,
+                   put_replicated, replicated)

@@ -1,0 +1,134 @@
+"""Hyperparameter optimization: random search + ASHA successive halving.
+
+Rebuild of the reference's Ray Tune + HyperOpt + ASHAScheduler stack
+(reference src/hpo.py, hyperparameter_tuning.py:513-546) without external
+dependencies: trials are functional (config, state) pairs, the scheduler is
+synchronous successive halving (train every trial to the rung budget, keep
+the top 1/reduction_factor, resume survivors from their own train state —
+the reference's tune.checkpoint_dir restore, hyperparameter_tuning.py:194-197),
+and per-model search spaces mirror hyperparameter_tuning.py:454-511.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+
+# -- search space -----------------------------------------------------------
+
+def uniform(lo: float, hi: float):
+    return lambda rng: float(rng.uniform(lo, hi))
+
+
+def loguniform(lo: float, hi: float):
+    return lambda rng: float(np.exp(rng.uniform(np.log(lo), np.log(hi))))
+
+
+def choice(options: List):
+    return lambda rng: options[int(rng.integers(len(options)))]
+
+
+def randint(lo: int, hi: int):
+    return lambda rng: int(rng.integers(lo, hi))
+
+
+def sample_config(space: Dict[str, Callable], rng: np.random.Generator) -> Dict:
+    return {k: fn(rng) for k, fn in space.items()}
+
+
+# -- ASHA -------------------------------------------------------------------
+
+@dataclass
+class Trial:
+    trial_id: int
+    config: Dict
+    state: Any = None          # opaque train state, threaded through rungs
+    epochs_done: int = 0
+    scores: List[float] = field(default_factory=list)
+
+    @property
+    def best(self) -> float:
+        return max(self.scores) if self.scores else -math.inf
+
+
+def run_asha(
+    trainable: Callable[[Dict, int, Any], Tuple[Any, List[float]]],
+    space: Dict[str, Callable],
+    n_trials: int = 16,
+    max_epochs: int = 32,
+    grace_period: int = 4,
+    reduction_factor: int = 2,
+    seed: int = 42,
+    log_path: Optional[str] = None,
+) -> Tuple[Trial, List[Trial]]:
+    """Synchronous successive halving.
+
+    ``trainable(config, n_epochs, state)`` trains for n_epochs more (resuming
+    from ``state`` if given) and returns (new_state, per-epoch scores, higher
+    is better).
+    """
+    rng = np.random.default_rng(seed)
+    trials = [Trial(i, sample_config(space, rng)) for i in range(n_trials)]
+
+    rung_budget = grace_period
+    alive = list(trials)
+    while alive:
+        for t in alive:
+            add = min(rung_budget, max_epochs) - t.epochs_done
+            if add > 0:
+                t.state, scores = trainable(t.config, add, t.state)
+                t.scores.extend(scores)
+                t.epochs_done += add
+        if rung_budget >= max_epochs or len(alive) == 1:
+            break
+        alive.sort(key=lambda t: t.best, reverse=True)
+        alive = alive[: max(len(alive) // reduction_factor, 1)]
+        rung_budget *= reduction_factor
+
+    best = max(trials, key=lambda t: t.best)
+    if log_path:
+        os.makedirs(os.path.dirname(os.path.abspath(log_path)), exist_ok=True)
+        with open(log_path, "w") as f:
+            json.dump([{"trial": t.trial_id, "config": t.config,
+                        "epochs": t.epochs_done, "best": t.best,
+                        "scores": t.scores} for t in trials], f, indent=2, default=str)
+    return best, trials
+
+
+# -- per-model search spaces (reference hyperparameter_tuning.py:454-511) ----
+
+def search_space_0d(model: str) -> Dict[str, Callable]:
+    common = {
+        "lr": loguniform(1e-4, 1e-2),
+        "batch_size": choice([64, 128, 256]),
+        "focal_gamma": uniform(0.5, 4.0),
+    }
+    if model == "Transformer":
+        return {**common, "feature_dims": choice([64, 128, 256]),
+                "n_layers": randint(1, 6), "dropout": uniform(0.0, 0.3)}
+    if model == "CnnLSTM":
+        return {**common, "conv_dim": choice([32, 64, 128]),
+                "lstm_dim": choice([64, 128, 256]), "n_layers": randint(1, 4)}
+    if model == "MLSTM_FCN":
+        return {**common, "fcn_dim": choice([64, 128, 256]),
+                "lstm_dim": choice([64, 128]), "lstm_dropout": uniform(0.0, 0.3)}
+    raise ValueError(model)
+
+
+def search_space_video(model: str) -> Dict[str, Callable]:
+    common = {"lr": loguniform(1e-5, 1e-3), "batch_size": choice([16, 32, 64]),
+              "focal_gamma": uniform(0.5, 4.0)}
+    if model == "ViViT":
+        return {**common, "dim": choice([64, 128, 192]), "depth": randint(1, 4),
+                "n_heads": choice([2, 4, 8]), "dropout": uniform(0.0, 0.3)}
+    if model == "R2Plus1D":
+        return {**common, "layer_sizes": choice([(1, 1, 1, 1), (1, 2, 2, 1), (2, 2, 2, 2)])}
+    if model == "SlowFast":
+        return {**common, "alpha": choice([2, 4])}
+    raise ValueError(model)

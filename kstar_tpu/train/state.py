@@ -101,7 +101,8 @@ def save_checkpoint(state: TrainState, path: str, extra: Optional[Dict] = None) 
         "params": state.params,
         "batch_stats": state.batch_stats,
         "opt_state": state.opt_state,
-        "rng": state.rng,
+        # typed PRNG keys aren't msgpack-serializable; store the raw key data
+        "rng": jax.random.key_data(state.rng),
     }
     with open(path, "wb") as f:
         f.write(serialization.to_bytes(jax.device_get(payload)))
@@ -120,9 +121,10 @@ def load_checkpoint(state: TrainState, path: str) -> TrainState:
         "params": state.params,
         "batch_stats": state.batch_stats,
         "opt_state": state.opt_state,
-        "rng": state.rng,
+        "rng": jax.random.key_data(state.rng),
     }
     restored = serialization.from_bytes(template, raw)
+    restored["rng"] = jax.random.wrap_key_data(restored["rng"])
     return state.replace(**restored)
 
 
