@@ -73,8 +73,13 @@ def startup_suppression(probs: np.ndarray, n_samples: int) -> np.ndarray:
 class VideoSweeper:
     """Compiled stride-1 sliding-window sweep over on-device frames.
 
-    One jitted step: gather (B, L) windows from the HBM-resident frame
-    array, center-crop, normalize, cast, forward, softmax — fully fused.
+    TPU-native structure: the shot's frames are center-cropped and uploaded
+    to HBM *once* (``load_shot``); the entire sweep then runs as ONE jitted
+    ``lax.scan`` over fixed-size window chunks — per-chunk: (B, L) index
+    gather from HBM, normalize, bf16 cast, forward, softmax — so a whole
+    shot costs a single host dispatch and a single device->host transfer,
+    instead of the reference's one forward per window
+    (reference visualize_application.py:248-262).
     """
 
     def __init__(self, model, params, batch_stats, seq_len: int, crop_size: int,
@@ -85,36 +90,52 @@ class VideoSweeper:
 
         offsets = jnp.arange(1, seq_len + 1)  # window s covers frames [s+1, s+L]
         mean = jnp.asarray(PIXEL_MEAN_BGR, jnp.float32)
+        variables = {"params": params, "batch_stats": batch_stats}
 
-        def step(frames_u8, starts):
-            idx = starts[:, None] + offsets[None, :]
-            idx = jnp.clip(idx, 0, frames_u8.shape[0] - 1)
-            win = frames_u8[idx]                                # (B, L, H, W, C)
-            H, W = win.shape[2], win.shape[3]
-            y0 = H // 2 - crop_size // 2
-            x0 = W // 2 - crop_size // 2
-            win = win[:, :, y0:y0 + crop_size, x0:x0 + crop_size, :]
-            x = win.astype(jnp.float32) - mean
-            x = x.astype(compute_dtype)
-            logits = model.apply({"params": params, "batch_stats": batch_stats},
-                                 x, train=False)
+        def chunk_probs(frames_u8, starts):
+            idx = jnp.clip(starts[:, None] + offsets[None, :], 0, frames_u8.shape[0] - 1)
+            win = frames_u8[idx]                                # (B, L, h, w, C)
+            x = (win.astype(jnp.float32) - mean).astype(compute_dtype)
+            logits = model.apply(variables, x, train=False)
             return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[:, 0]
 
-        self._step = jax.jit(step)
+        def sweep_all(frames_u8, start_chunks):               # (n_chunks, B)
+            def body(_, starts):
+                return None, chunk_probs(frames_u8, starts)
+            _, probs = jax.lax.scan(body, None, start_chunks)
+            return probs                                        # (n_chunks, B)
 
-    def sweep(self, frames_u8: np.ndarray, starts: np.ndarray) -> np.ndarray:
-        """Run all window starts; returns p_disrupt per window."""
-        frames_dev = jax.device_put(np.ascontiguousarray(frames_u8))
-        out = np.zeros(len(starts), np.float32)
+        self._sweep_all = jax.jit(sweep_all)
+        self._frames_dev = None
+
+    def load_shot(self, frames_u8: np.ndarray):
+        """Center-crop on host (cheap slice view) and upload once."""
+        H, W = frames_u8.shape[1], frames_u8.shape[2]
+        y0 = H // 2 - self.crop_size // 2
+        x0 = W // 2 - self.crop_size // 2
+        cropped = np.ascontiguousarray(
+            frames_u8[:, y0:y0 + self.crop_size, x0:x0 + self.crop_size, :])
+        self._frames_dev = jax.device_put(cropped)
+        return self._frames_dev
+
+    def sweep(self, frames_u8: Optional[np.ndarray], starts: np.ndarray) -> np.ndarray:
+        """Run all window starts; returns p_disrupt per window. Pass
+        frames_u8=None to reuse the previously loaded shot."""
+        if frames_u8 is not None:
+            self.load_shot(frames_u8)
+        n = len(starts)
+        if n == 0:
+            return np.zeros(0, np.float32)
         B = self.batch_size
-        for i in range(0, len(starts), B):
-            chunk = starts[i: i + B]
-            pad = B - len(chunk)
-            if pad:
-                chunk = np.concatenate([chunk, np.zeros(pad, chunk.dtype)])
-            probs = np.asarray(self._step(frames_dev, jnp.asarray(chunk)))
-            out[i: i + B - pad if pad else i + B] = probs[: B - pad] if pad else probs
-        return out
+        n_chunks = (n + B - 1) // B
+        # bucket the chunk count to the next power of two so ragged shot
+        # lengths reuse a handful of compiled programs instead of one each
+        n_buck = 1 << (n_chunks - 1).bit_length()
+        padded = np.zeros(n_buck * B, starts.dtype)
+        padded[:n] = starts
+        chunks = jnp.asarray(padded.reshape(n_buck, B))
+        probs = np.asarray(self._sweep_all(self._frames_dev, chunks))
+        return probs.reshape(-1)[:n]
 
 
 def predict_video_shot(
@@ -152,34 +173,40 @@ def predict_video_shot(
 
 
 class TSSweeper:
-    """Compiled stride-1 sweep for 0D models."""
+    """Compiled stride-1 sweep for 0D models — same one-dispatch scan
+    structure as VideoSweeper."""
 
     def __init__(self, model, params, batch_stats, seq_len: int,
                  batch_size: int = 256, tau: int = 1):
         offsets = 1 + tau * jnp.arange(seq_len)
+        variables = {"params": params, "batch_stats": batch_stats}
 
-        def step(data, starts):
+        def chunk_probs(data, starts):
             idx = jnp.clip(starts[:, None] + offsets[None, :], 0, data.shape[0] - 1)
-            x = data[idx]                                        # (B, L, F)
-            logits = model.apply({"params": params, "batch_stats": batch_stats},
-                                 x, train=False)
+            logits = model.apply(variables, data[idx], train=False)
             return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[:, 0]
 
-        self._step = jax.jit(step)
+        def sweep_all(data, start_chunks):
+            def body(_, starts):
+                return None, chunk_probs(data, starts)
+            _, probs = jax.lax.scan(body, None, start_chunks)
+            return probs
+
+        self._sweep_all = jax.jit(sweep_all)
         self.batch_size = batch_size
 
     def sweep(self, data: np.ndarray, starts: np.ndarray) -> np.ndarray:
+        n = len(starts)
+        if n == 0:
+            return np.zeros(0, np.float32)
         data_dev = jax.device_put(np.ascontiguousarray(data.astype(np.float32)))
-        out = np.zeros(len(starts), np.float32)
         B = self.batch_size
-        for i in range(0, len(starts), B):
-            chunk = starts[i: i + B]
-            pad = B - len(chunk)
-            if pad:
-                chunk = np.concatenate([chunk, np.zeros(pad, chunk.dtype)])
-            probs = np.asarray(self._step(data_dev, jnp.asarray(chunk)))
-            out[i: i + len(probs) - pad] = probs[: len(probs) - pad] if pad else probs
-        return out
+        n_chunks = (n + B - 1) // B
+        n_buck = 1 << (n_chunks - 1).bit_length()
+        padded = np.zeros(n_buck * B, starts.dtype)
+        padded[:n] = starts
+        probs = np.asarray(self._sweep_all(data_dev, jnp.asarray(padded.reshape(n_buck, B))))
+        return probs.reshape(-1)[:n]
 
 
 def predict_0d_shot(

@@ -57,6 +57,9 @@ class MHSA(nn.Module):
         else:
             logits = jnp.einsum("bhid,bhjd->bhij", q, k).astype(jnp.float32) * (dh ** -0.5)
             attn = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+            # exposed for attention rollout (viz/xai.py); no-op unless the
+            # 'intermediates' collection is mutable
+            self.sow("intermediates", "attn", attn)
             out = jnp.einsum("bhij,bhjd->bhid", attn, v)
 
         out = out.transpose(0, 2, 1, 3).reshape(B, N, inner)

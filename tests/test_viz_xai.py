@@ -1,0 +1,90 @@
+"""Viz/XAI smoke tests on tiny models (CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kstar_tpu.models import R2Plus1DClassifier, ViViT
+
+B, T, H = 2, 8, 32
+
+
+def _rngs():
+    return {"params": jax.random.key(0), "noise": jax.random.key(1),
+            "dropout": jax.random.key(2)}
+
+
+@pytest.fixture(scope="module")
+def video():
+    return jnp.asarray(np.random.default_rng(0).normal(size=(B, T, H, H, 3)).astype(np.float32))
+
+
+class TestGradCAM:
+    def test_cam_shape_and_range(self, video):
+        from kstar_tpu.viz import gradcam_r2plus1d
+
+        m = R2Plus1DClassifier(image_size=H, n_frames=T, layer_sizes=(1, 1, 1, 1))
+        v = m.init(_rngs(), video, train=False)
+        cam = gradcam_r2plus1d(m, v["params"], v.get("batch_stats", {}), video)
+        assert cam.shape[0] == B and cam.shape[2:] == (H, H)
+        assert np.isfinite(cam).all()
+        assert cam.min() >= 0.0 and cam.max() <= 1.0 + 1e-6
+
+
+class TestAttentionRollout:
+    def test_space_and_temporal(self, video):
+        from kstar_tpu.viz import vivit_attention_rollout
+
+        m = ViViT(image_size=H, patch_size=8, n_frames=T, dim=32, depth=2,
+                  n_heads=2, d_head=16, scale_dim=2, dropout=0.0, embedd_dropout=0.0)
+        v = m.init(_rngs(), video, train=False)
+
+        space = vivit_attention_rollout(m, v["params"], video, "space")
+        assert space.shape == (B * T, 1, 4, 4) or space.shape == (B, T, 4, 4)
+        assert np.isfinite(space).all()
+
+        temporal = vivit_attention_rollout(m, v["params"], video, "temporal")
+        assert temporal.shape[-1] == T
+        assert np.isfinite(temporal).all()
+
+
+class TestLatentViz:
+    def test_latent_scatter(self, tiny_dataset, tmp_path):
+        from kstar_tpu.config import MLSTMFCNConfig, OptimConfig, Schema
+        from kstar_tpu.data import TSDataset, prepare_0d_dataset
+        from kstar_tpu.models import build_0d_model
+        from kstar_tpu.train import create_train_state
+        from kstar_tpu.viz import visualize_latent_space
+
+        shots, disrupt_df, ts_df = tiny_dataset
+        df_train, _, _, scaler = prepare_0d_dataset(ts_df, Schema.INPUT_FEATURES,
+                                                    test_shot=None)
+        ds = TSDataset(df_train, disrupt_df, Schema.INPUT_FEATURES, scaler=scaler)
+        cfg = MLSTMFCNConfig(n_features=len(Schema.INPUT_FEATURES), fcn_dim=16,
+                             lstm_dim=16)
+        model = build_0d_model("MLSTM_FCN", cfg)
+        x, _ = ds.batch(np.arange(8))
+        state = create_train_state(model, jnp.asarray(x), jax.random.key(0), OptimConfig())
+        fig = visualize_latent_space(model, state, ds, method="pca",
+                                     save_path=str(tmp_path / "latent.png"))
+        assert (tmp_path / "latent.png").exists()
+
+
+class TestProbCurvePlots:
+    def test_plots(self, tiny_dataset, tmp_path):
+        from kstar_tpu.viz import (plot_shot_probability,
+                                   plot_shot_probability_zoom, render_realtime_gif)
+
+        shots, disrupt_df, ts_df = tiny_dataset
+        s = shots[0]
+        t = np.linspace(0, 1.0, 200)
+        p = np.clip(np.linspace(-0.5, 1.2, 200), 0, 1)
+        fig = plot_shot_probability(s.ts, t, p, s.shot, s.tftsrt, s.tTQend,
+                                    s.tipminf, save_path=str(tmp_path / "prob.png"))
+        assert (tmp_path / "prob.png").exists()
+        plot_shot_probability_zoom(t, p, s.shot, s.tftsrt, s.tTQend, s.tipminf,
+                                   0.02, save_path=str(tmp_path / "prob.png"))
+        out = render_realtime_gif(s.frames[:40], t, p, s.shot, s.tipminf,
+                                  save_path=str(tmp_path / "rt.gif"), max_frames=10)
+        assert (tmp_path / "rt.gif").exists()
