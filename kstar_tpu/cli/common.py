@@ -1,0 +1,105 @@
+"""Shared CLI plumbing: data-root resolution, config construction from args,
+and the synthetic-data fallback used for smoke runs without KSTAR data."""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+
+from ..config import (LossConfig, OptimConfig, Schema, TrainConfig, tag_for)
+from ..data import VideoStore
+
+
+def add_common_args(p: argparse.ArgumentParser, batch_size: int = 64) -> None:
+    p.add_argument("--data_root", type=str, default="./dataset",
+                   help="root with video/<shot>.npy, shot_list.csv, ts_data.csv")
+    p.add_argument("--synthetic", action="store_true",
+                   help="run on generated synthetic shots (smoke test)")
+    p.add_argument("--random_seed", type=int, default=42)
+    p.add_argument("--save_dir", type=str, default="./results")
+    p.add_argument("--weight_dir", type=str, default="./weights")
+    p.add_argument("--test_shot_num", type=int, default=21310)
+    p.add_argument("--batch_size", type=int, default=batch_size)
+    p.add_argument("--num_epoch", type=int, default=128)
+    p.add_argument("--seq_len", type=int, default=21)
+    p.add_argument("--dist", type=int, default=3)
+    p.add_argument("--use_sampling", action="store_true")
+    p.add_argument("--use_weighting", action="store_true")
+    p.add_argument("--use_DRW", action="store_true")
+    p.add_argument("--beta", type=float, default=0.25)
+    p.add_argument("--loss_type", type=str, default="Focal",
+                   choices=["CE", "Focal", "LDAM"])
+    p.add_argument("--max_m", type=float, default=0.5)
+    p.add_argument("--s", type=float, default=1.0)
+    p.add_argument("--focal_gamma", type=float, default=2.0)
+    p.add_argument("--optimizer", type=str, default="AdamW",
+                   choices=["SGD", "RMSProp", "Adam", "AdamW"])
+    p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--use_scheduler", action="store_true", default=True)
+    p.add_argument("--step_size", type=int, default=4)
+    p.add_argument("--gamma", type=float, default=0.95)
+    p.add_argument("--early_stopping_patience", type=int, default=32)
+    p.add_argument("--early_stopping_delta", type=float, default=1e-3)
+    p.add_argument("--max_norm_grad", type=float, default=1.0)
+    p.add_argument("--verbose", type=int, default=4)
+    p.add_argument("--scaler", type=str, default="Robust",
+                   choices=["Robust", "Standard", "MinMax"])
+    p.add_argument("--threshold", type=float, default=0.5)
+    p.add_argument("--compute_dtype", type=str, default="bfloat16",
+                   choices=["bfloat16", "float32"])
+
+
+def configs_from_args(args) -> Tuple[TrainConfig, LossConfig, OptimConfig]:
+    train_cfg = TrainConfig(
+        batch_size=args.batch_size, num_epoch=args.num_epoch, seed=args.random_seed,
+        use_sampling=args.use_sampling,
+        early_stopping_patience=args.early_stopping_patience,
+        early_stopping_delta=args.early_stopping_delta,
+        verbose=args.verbose, save_dir=args.save_dir, weight_dir=args.weight_dir,
+        compute_dtype=args.compute_dtype,
+    )
+    loss_cfg = LossConfig(
+        loss_type=args.loss_type, focal_gamma=args.focal_gamma,
+        ldam_max_m=args.max_m, ldam_s=args.s,
+        use_weighting=args.use_weighting, use_drw=args.use_DRW, drw_beta=args.beta,
+    )
+    optim_cfg = OptimConfig(
+        optimizer=args.optimizer, lr=args.lr, use_scheduler=args.use_scheduler,
+        step_size=args.step_size, gamma=args.gamma,
+        max_norm_grad=args.max_norm_grad,
+    )
+    return train_cfg, loss_cfg, optim_cfg
+
+
+def load_data(args, need_video: bool = False, dt: float = 4.0 / 210.0):
+    """Load (disrupt_df, ts_df, store) from --data_root, or generate
+    synthetic shots under --synthetic."""
+    if args.synthetic:
+        from ..data import synthetic
+
+        shots, disrupt_df, ts_df = synthetic.make_dataset(
+            n_shots=10, n_frames=256, height=64, width=64, dt=dt,
+            seed=args.random_seed)
+        store = VideoStore.from_arrays({s.shot: s.frames for s in shots})
+        return disrupt_df, ts_df, store
+
+    root = args.data_root
+    disrupt_df = pd.read_csv(os.path.join(root, "shot_list.csv"))
+    ts_path = os.path.join(root, "ts_data.csv")
+    ts_df = pd.read_csv(ts_path) if os.path.exists(ts_path) else None
+    store = None
+    if need_video:
+        vdir = os.path.join(root, "video")
+        shots = [int(os.path.splitext(f)[0]) for f in os.listdir(vdir)
+                 if f.endswith(".npy")] if os.path.isdir(vdir) else []
+        store = VideoStore(vdir, shots)
+    return disrupt_df, ts_df, store
+
+
+def make_tag(model: str, args, loss_cfg, train_cfg) -> str:
+    return tag_for(model, args.seq_len, args.dist, loss_cfg, train_cfg,
+                   use_sampling=args.use_sampling)

@@ -1,0 +1,173 @@
+"""Vision network training CLI (rebuild of reference train_vision_network.py):
+video dataset build -> ViViT/SlowFast/R2Plus1D dispatch -> train/train_DRW
+-> evaluate -> latent viz -> continuous prob curve on the held-out shot.
+
+Usage:
+    python -m kstar_tpu.cli.train_vision --model ViViT --synthetic --num_epoch 2
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    from .common import add_common_args
+
+    p = argparse.ArgumentParser(description="train vision disruption predictor")
+    p.add_argument("--model", type=str, default="ViViT",
+                   choices=["ViViT", "SlowFast", "R2Plus1D"])
+    p.add_argument("--tag", type=str, default=None)
+    add_common_args(p, batch_size=64)
+    p.add_argument("--image_size", type=int, default=128)
+    # augmentation (reference train_vision_network.py:52-63)
+    p.add_argument("--bright_val", type=int, default=10)
+    p.add_argument("--bright_p", type=float, default=0.25)
+    p.add_argument("--contrast_min", type=float, default=1.0)
+    p.add_argument("--contrast_max", type=float, default=1.25)
+    p.add_argument("--contrast_p", type=float, default=0.25)
+    p.add_argument("--blur_k", type=int, default=5)
+    p.add_argument("--blur_p", type=float, default=0.25)
+    p.add_argument("--flip_p", type=float, default=0.25)
+    p.add_argument("--vertical_ratio", type=float, default=0.1)
+    p.add_argument("--vertical_p", type=float, default=0.25)
+    p.add_argument("--horizontal_ratio", type=float, default=0.1)
+    p.add_argument("--horizontal_p", type=float, default=0.25)
+    # ViViT hyperparameters (reference :106-114)
+    p.add_argument("--patch_size", type=int, default=16)
+    p.add_argument("--alpha", type=float, default=1.0)
+    p.add_argument("--dropout", type=float, default=0.1)
+    p.add_argument("--embedd_dropout", type=float, default=0.1)
+    p.add_argument("--dim", type=int, default=128)
+    p.add_argument("--n_heads", type=int, default=4)
+    p.add_argument("--d_head", type=int, default=64)
+    p.add_argument("--scale_dim", type=int, default=8)
+    p.add_argument("--depth", type=int, default=2)
+    # SlowFast (reference :117-118)
+    p.add_argument("--tau_alpha", type=int, default=4)
+    p.add_argument("--tau_fast", type=int, default=1)
+    # R2Plus1D
+    p.add_argument("--layer_sizes", type=int, nargs=4, default=[1, 2, 2, 1])
+    p.add_argument("--skip_extras", action="store_true")
+    return p
+
+
+def model_config(args):
+    from ..config import R2Plus1DConfig, SlowFastConfig, ViViTConfig
+
+    seq_len = args.seq_len
+    if args.model == "SlowFast" and seq_len % args.tau_alpha != 0:
+        # even-seq fixup (reference train_vision_network.py:153-155)
+        seq_len = seq_len - seq_len % args.tau_alpha
+    if args.model == "ViViT":
+        return ViViTConfig(
+            image_size=args.image_size, patch_size=args.patch_size,
+            n_frames=seq_len, dim=args.dim, depth=args.depth,
+            n_heads=args.n_heads, d_head=args.d_head, scale_dim=args.scale_dim,
+            dropout=args.dropout, embedd_dropout=args.embedd_dropout), seq_len
+    if args.model == "SlowFast":
+        return SlowFastConfig(image_size=args.image_size, n_frames=seq_len,
+                              alpha=args.tau_alpha, tau_fast=args.tau_fast), seq_len
+    return R2Plus1DConfig(image_size=args.image_size, n_frames=seq_len,
+                          layer_sizes=tuple(args.layer_sizes), alpha=0.01), seq_len
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..config import AugmentConfig, Schema
+    from ..data import ImbalancedSampler, VideoDataset, split_shots
+    from ..data.device_pipe import DevicePreprocessor
+    from ..eval import evaluate
+    from ..models import build_video_model
+    from ..train import MetricWriter, create_train_state, fit
+    from ..viz import plot_learning_curve
+    from .common import configs_from_args, load_data, make_tag
+
+    train_cfg, loss_cfg, optim_cfg = configs_from_args(args)
+    test_shot = None if args.synthetic else args.test_shot_num
+
+    disrupt_df, ts_df, store = load_data(args, need_video=True)
+    shots = sorted(store.arrays.keys())
+    train_s, valid_s, test_s = split_shots(shots, test_shot)
+
+    cfg, seq_len = model_config(args)
+    mk = lambda ss: VideoDataset(store, disrupt_df, ss, seq_len=seq_len, dist=args.dist)
+    train_ds, valid_ds, test_ds = mk(train_s), mk(valid_s), mk(test_s)
+    print(f"datasets: train {len(train_ds)} valid {len(valid_ds)} test {len(test_ds)} "
+          f"| class counts {train_ds.class_counts().tolist()}")
+
+    dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
+    model = build_video_model(args.model, cfg, dtype=dtype)
+
+    aug = AugmentConfig(
+        bright_val=args.bright_val, bright_p=args.bright_p,
+        contrast_min=args.contrast_min, contrast_max=args.contrast_max,
+        contrast_p=args.contrast_p, blur_k=args.blur_k, blur_p=args.blur_p,
+        flip_p=args.flip_p, vertical_ratio=args.vertical_ratio,
+        vertical_p=args.vertical_p, horizontal_ratio=args.horizontal_ratio,
+        horizontal_p=args.horizontal_p)
+
+    crop = min(args.image_size, store.arrays[shots[0]].shape[1])
+    put_train = DevicePreprocessor(crop, aug, train=True, out_dtype=dtype,
+                                   seed=args.random_seed)
+    put_eval = DevicePreprocessor(crop, aug, train=False, out_dtype=dtype)
+
+    x0, _ = put_eval(train_ds.batch(np.arange(min(args.batch_size, len(train_ds)))))
+    steps = max(len(train_ds) // args.batch_size, 1)
+    state = create_train_state(model, x0, jax.random.key(args.random_seed),
+                               optim_cfg, steps_per_epoch=steps)
+
+    tag = args.tag or make_tag(args.model, args, loss_cfg, train_cfg)
+    writer = MetricWriter(os.path.join(args.save_dir, "tensorboard", tag))
+    sampler = ImbalancedSampler(train_ds.labels) if args.use_sampling else None
+
+    state, hist = fit(model, state, train_ds, valid_ds, train_cfg, loss_cfg,
+                      tag=tag, sampler=sampler, writer=writer,
+                      put=put_train, put_eval=put_eval)
+    plot_learning_curve(hist, os.path.join(args.save_dir, f"{tag}_learning_curve.png"))
+
+    # evaluate: eval-mode preprocessing
+    from ..train.loop import make_eval_step, run_eval_epoch
+    from ..eval.evaluate import evaluate_probs, format_report
+
+    eval_step = make_eval_step(model, loss_cfg)
+    counts = test_ds.class_counts()
+    from ..losses import ldam_margins
+    w = jnp.ones(2); m = jnp.asarray(ldam_margins(counts, loss_cfg.ldam_max_m)); gb = jnp.zeros(3)
+    _, _, _, (probs, labels) = run_eval_epoch(
+        eval_step, state, test_ds, args.batch_size, w, m, gb,
+        put=put_eval, collect_probs=True)
+    results = evaluate_probs(probs, labels, args.threshold)
+    with open(os.path.join(args.save_dir, f"{tag}_report.txt"), "w") as f:
+        f.write(format_report(results))
+    print(f"test macro-F1 {results['macro_f1']:.4f} | ROC-AUC {results['roc_auc']:.4f}")
+
+    if not args.skip_extras:
+        from ..infer import predict_video_shot
+        from ..viz import plot_shot_probability_zoom
+
+        shot = test_s[-1] if test_s else shots[-1]
+        row = disrupt_df[disrupt_df.shot == shot].iloc[0]
+        frames = np.asarray(store.arrays[shot])
+        time_x, probs_c = predict_video_shot(
+            model, state.params, state.batch_stats, frames,
+            int(row.frame_startup), int(row.frame_cutoff),
+            seq_len=seq_len, dist=args.dist, crop_size=crop,
+            batch_size=args.batch_size, compute_dtype=dtype)
+        plot_shot_probability_zoom(
+            time_x, probs_c, shot, float(row.tftsrt), float(row.tTQend),
+            float(row.tipminf), args.dist / 210.0,
+            save_path=os.path.join(args.save_dir, f"{tag}_prob_curve.png"))
+    writer.close()
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -223,6 +223,7 @@ def fit(
     gb_weights: Optional[np.ndarray] = None,
     num_epoch: Optional[int] = None,
     put=None,
+    put_eval=None,
 ) -> Tuple[TrainState, History]:
     """Epoch driver covering the reference's ``train`` and ``train_DRW``
     (src/train.py:147-274, :277-422): per-epoch train/valid, metric logging,
@@ -251,7 +252,7 @@ def fit(
             weight, m_list, gb_w, sampler=sampler, put=put)
         va_loss, va_acc, va_f1 = run_eval_epoch(
             eval_step, state, valid_ds, train_cfg.batch_size,
-            weight, m_list, gb_w, put=put)
+            weight, m_list, gb_w, put=put_eval if put_eval is not None else put)
 
         hist.train_loss.append(tr_loss); hist.valid_loss.append(va_loss)
         hist.train_acc.append(tr_acc); hist.valid_acc.append(va_acc)

@@ -78,7 +78,7 @@ def create_train_state(model, sample_batch, rng: jax.Array, optim_cfg: OptimConf
         *args, train=False,
     )
     params = variables["params"]
-    batch_stats = variables.get("batch_stats", FrozenDict())
+    batch_stats = variables.get("batch_stats", {})
     tx = make_optimizer(optim_cfg, steps_per_epoch)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
