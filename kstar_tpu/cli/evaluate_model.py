@@ -1,0 +1,106 @@
+"""Evaluation-only CLI (rebuild of reference evaluate_vision_network.py /
+evaluate_0D_network.py): reload a checkpoint by tag and rerun evaluation,
+per-shot detail dumps, and the continuous prob curve without training.
+
+Usage:
+    python -m kstar_tpu.cli.evaluate_model --kind 0D --model MLSTM_FCN --tag <tag> --synthetic
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    from .common import add_common_args
+
+    p = argparse.ArgumentParser(description="evaluate a trained disruption predictor")
+    p.add_argument("--kind", type=str, default="0D", choices=["0D", "vision"])
+    p.add_argument("--model", type=str, default="Transformer")
+    p.add_argument("--tag", type=str, required=False, default=None)
+    p.add_argument("--which", type=str, default="best", choices=["best", "last"])
+    add_common_args(p, batch_size=128)
+    # mirror the model-hparam args of the train CLIs so configs reconstruct
+    p.add_argument("--feature_dims", type=int, default=128)
+    p.add_argument("--n_layers", type=int, default=4)
+    p.add_argument("--n_heads", type=int, default=8)
+    p.add_argument("--dim_feedforward", type=int, default=1024)
+    p.add_argument("--cls_dims", type=int, default=128)
+    p.add_argument("--conv_dim", type=int, default=64)
+    p.add_argument("--conv_kernel", type=int, default=3)
+    p.add_argument("--lstm_dim", type=int, default=128)
+    p.add_argument("--lstm_layers", type=int, default=4)
+    p.add_argument("--fcn_dim", type=int, default=128)
+    p.add_argument("--reduction", type=int, default=16)
+    p.add_argument("--dropout", type=float, default=0.1)
+    p.add_argument("--image_size", type=int, default=128)
+    p.add_argument("--patch_size", type=int, default=16)
+    p.add_argument("--dim", type=int, default=128)
+    p.add_argument("--depth", type=int, default=2)
+    p.add_argument("--d_head", type=int, default=64)
+    p.add_argument("--scale_dim", type=int, default=8)
+    p.add_argument("--alpha", type=float, default=0.01)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..config import DT_0D, Schema
+    from ..data import TSDataset, prepare_0d_dataset
+    from ..eval import evaluate, evaluate_detail
+    from ..models import build_0d_model
+    from ..train import create_train_state, load_checkpoint
+    from .common import configs_from_args, load_data, make_tag
+
+    train_cfg, loss_cfg, optim_cfg = configs_from_args(args)
+    tag = args.tag or make_tag(args.model, args, loss_cfg, train_cfg)
+    ckpt = os.path.join(args.weight_dir, f"{tag}_{args.which}.ckpt")
+    if not os.path.exists(ckpt):
+        raise FileNotFoundError(f"checkpoint not found: {ckpt}")
+
+    if args.kind == "0D":
+        from .train_0d import model_config
+
+        cols = Schema.INPUT_FEATURES
+        test_shot = None if args.synthetic else args.test_shot_num
+        disrupt_df, ts_df, _ = load_data(args, need_video=False, dt=DT_0D)
+        df_train, df_valid, df_test, scaler = prepare_0d_dataset(
+            ts_df, cols, scaler=args.scaler, test_shot=test_shot)
+        mk = lambda df: TSDataset(df, disrupt_df, cols, seq_len=args.seq_len,
+                                  dist=args.dist, dt=DT_0D, scaler=scaler)
+        train_ds, valid_ds, test_ds = mk(df_train), mk(df_valid), mk(df_test)
+
+        cfg = model_config(args, len(cols))
+        dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
+        model = build_0d_model(args.model, cfg, dtype=dtype)
+        x0, _ = test_ds.batch(np.arange(min(8, len(test_ds))))
+        state = create_train_state(model, jnp.asarray(x0), jax.random.key(0), optim_cfg)
+        state = load_checkpoint(state, ckpt)
+
+        results = evaluate(
+            model, state, test_ds, loss_cfg, batch_size=args.batch_size,
+            threshold=args.threshold,
+            save_txt=os.path.join(args.save_dir, f"{tag}_eval_report.txt"),
+            save_fig=os.path.join(args.save_dir, f"{tag}_eval.png"))
+        print(f"test macro-F1 {results['macro_f1']:.4f} | ROC-AUC {results['roc_auc']:.4f}")
+
+        evaluate_detail(model, state, {"train": train_ds, "valid": valid_ds,
+                                       "test": test_ds}, loss_cfg,
+                        batch_size=args.batch_size, threshold=args.threshold,
+                        save_csv=os.path.join(args.save_dir, f"{tag}_detail.csv"))
+        return results
+
+    raise NotImplementedError(
+        "vision evaluation: use kstar_tpu.cli.train_vision with num_epoch=0-style "
+        "reload, or the make_continuous_prediction CLI for prob curves")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,122 @@
+"""HPO sweep CLI (rebuild of reference hyperparameter_tuning.py): ASHA
+successive-halving random search over a 0D model's hyperparameters, then
+best-trial test evaluation.
+
+Usage:
+    python -m kstar_tpu.cli.hpo_run --model MLSTM_FCN --synthetic --n_trials 4
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="ASHA hyperparameter search")
+    p.add_argument("--model", type=str, default="MLSTM_FCN",
+                   choices=["Transformer", "CnnLSTM", "MLSTM_FCN"])
+    p.add_argument("--data_root", type=str, default="./dataset")
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--n_trials", type=int, default=16)
+    p.add_argument("--max_epochs", type=int, default=16)
+    p.add_argument("--grace_period", type=int, default=2)
+    p.add_argument("--reduction_factor", type=int, default=2)
+    p.add_argument("--seq_len", type=int, default=21)
+    p.add_argument("--dist", type=int, default=3)
+    p.add_argument("--random_seed", type=int, default=42)
+    p.add_argument("--save_dir", type=str, default="./results")
+    p.add_argument("--test_shot_num", type=int, default=21310)
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..config import (CnnLSTMConfig, DT_0D, LossConfig, MLSTMFCNConfig,
+                          OptimConfig, Schema, TransformerConfig)
+    from ..data import TSDataset, prepare_0d_dataset
+    from ..models import build_0d_model
+    from ..train import create_train_state, make_eval_step, make_train_step
+    from ..train.hpo import run_asha, search_space_0d
+    from ..train.loop import _loss_aux, run_eval_epoch, run_train_epoch
+    from .common import load_data
+
+    cols = Schema.INPUT_FEATURES
+    test_shot = None if args.synthetic else args.test_shot_num
+    ns = argparse.Namespace(synthetic=args.synthetic, data_root=args.data_root,
+                            random_seed=args.random_seed)
+    disrupt_df, ts_df, _ = load_data(ns, need_video=False, dt=DT_0D)
+    df_train, df_valid, df_test, scaler = prepare_0d_dataset(ts_df, cols,
+                                                             test_shot=test_shot)
+    mk = lambda df: TSDataset(df, disrupt_df, cols, seq_len=args.seq_len,
+                              dist=args.dist, dt=DT_0D, scaler=scaler)
+    train_ds, valid_ds, test_ds = mk(df_train), mk(df_valid), mk(df_test)
+
+    def make_model(config):
+        if args.model == "Transformer":
+            cfg = TransformerConfig(n_features=len(cols), max_len=args.seq_len,
+                                    feature_dims=config.get("feature_dims", 128),
+                                    n_layers=config.get("n_layers", 2),
+                                    dropout=config.get("dropout", 0.1))
+        elif args.model == "CnnLSTM":
+            cfg = CnnLSTMConfig(seq_len=args.seq_len, n_features=len(cols),
+                                conv_dim=config.get("conv_dim", 64),
+                                lstm_dim=config.get("lstm_dim", 128),
+                                n_layers=config.get("n_layers", 2))
+        else:
+            cfg = MLSTMFCNConfig(n_features=len(cols), seq_len=args.seq_len,
+                                 fcn_dim=config.get("fcn_dim", 128),
+                                 lstm_dim=config.get("lstm_dim", 64),
+                                 lstm_dropout=config.get("lstm_dropout", 0.1))
+        return build_0d_model(args.model, cfg)
+
+    def trainable(config, n_epochs, carry):
+        """Train n_epochs more; carry = (model, state, steps) for resume."""
+        batch_size = int(config.get("batch_size", 128))
+        loss_cfg = LossConfig(loss_type="Focal",
+                              focal_gamma=config.get("focal_gamma", 2.0))
+        if carry is None:
+            model = make_model(config)
+            x0, _ = train_ds.batch(np.arange(min(batch_size, len(train_ds))))
+            state = create_train_state(
+                model, jnp.asarray(x0), jax.random.key(args.random_seed),
+                OptimConfig(lr=config.get("lr", 1e-3)))
+            steps = (make_train_step(model, loss_cfg),
+                     make_eval_step(model, loss_cfg))
+        else:
+            model, state, steps = carry
+        train_step, eval_step = steps
+
+        counts = train_ds.class_counts()
+        rng = np.random.default_rng(args.random_seed)
+        scores = []
+        for ep in range(n_epochs):
+            w, m = _loss_aux(loss_cfg, counts, ep, max(n_epochs, 1))
+            gb = jnp.zeros(3)
+            state, *_ = run_train_epoch(train_step, state, train_ds, batch_size,
+                                        rng, w, m, gb)
+            _, _, f1 = run_eval_epoch(eval_step, state, valid_ds, batch_size, w, m, gb)
+            scores.append(f1)
+        return (model, state, steps), scores
+
+    best, trials = run_asha(
+        trainable, search_space_0d(args.model), n_trials=args.n_trials,
+        max_epochs=args.max_epochs, grace_period=args.grace_period,
+        reduction_factor=args.reduction_factor, seed=args.random_seed,
+        log_path=os.path.join(args.save_dir, f"hpo_{args.model}.json"))
+
+    print(f"best trial {best.trial_id}: valid F1 {best.best:.4f}")
+    print(f"config: {best.config}")
+
+    # best-trial test evaluation (reference hyperparameter_tuning.py:548-570)
+    model, state, _ = best.state
+    from ..eval import evaluate
+    results = evaluate(model, state, test_ds, LossConfig(loss_type="Focal"),
+                       batch_size=128)
+    print(f"test macro-F1 {results['macro_f1']:.4f} | ROC-AUC {results['roc_auc']:.4f}")
+    return best, results
+
+
+if __name__ == "__main__":
+    main()
