@@ -1,0 +1,107 @@
+"""Augmentation semantics + continuous-inference alignment tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kstar_tpu.config import PIXEL_MEAN_BGR, AugmentConfig
+from kstar_tpu.data.augment import center_crop, preprocess_batch
+from kstar_tpu.infer.continuous import (alarm_times, moving_average,
+                                        startup_suppression, warning_time)
+
+
+class TestAugment:
+    def test_eval_mode_is_crop_plus_normalize(self):
+        rng = np.random.default_rng(0)
+        v = rng.integers(0, 255, (2, 4, 32, 32, 3), dtype=np.uint8)
+        out = preprocess_batch(jax.random.key(0), jnp.asarray(v), 16,
+                               AugmentConfig(), train=False, out_dtype=jnp.float32)
+        expected = v[:, :, 8:24, 8:24, :].astype(np.float32) - np.asarray(PIXEL_MEAN_BGR)
+        np.testing.assert_allclose(np.asarray(out), expected, atol=1e-4)
+
+    def test_train_mode_finite_and_shaped(self):
+        rng = np.random.default_rng(0)
+        v = rng.integers(0, 255, (4, 6, 32, 32, 3), dtype=np.uint8)
+        cfg = AugmentConfig(bright_p=1.0, contrast_p=1.0, blur_p=1.0, flip_p=1.0,
+                            vertical_p=1.0, horizontal_p=1.0)
+        out = preprocess_batch(jax.random.key(1), jnp.asarray(v), 16, cfg,
+                               train=True, out_dtype=jnp.float32)
+        assert out.shape == (4, 6, 16, 16, 3)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_augmentations_differ_across_samples(self):
+        v = np.full((2, 4, 32, 32, 3), 128, dtype=np.uint8)
+        cfg = AugmentConfig(bright_p=1.0)
+        out = np.asarray(preprocess_batch(jax.random.key(2), jnp.asarray(v), 16,
+                                          cfg, train=True, out_dtype=jnp.float32))
+        # per-sample brightness offsets should differ
+        assert not np.allclose(out[0], out[1])
+
+    def test_center_crop(self):
+        v = np.arange(8 * 8).reshape(1, 1, 8, 8, 1)
+        out = center_crop(jnp.asarray(v), 4)
+        np.testing.assert_array_equal(np.asarray(out)[0, 0, 0, :, 0],
+                                      v[0, 0, 2, 2:6, 0])
+
+
+class TestSmoothing:
+    def test_backward_moving_average(self):
+        """Matches reference moving_avarage_smoothing semantics
+        (src/utils/utility.py:872-893): S[t] = mean(x[:t+1]) for t<k else
+        sum(x[t-k:t])/k."""
+        x = np.arange(10, dtype=np.float64) / 10
+        s = moving_average(x, 3, "backward")
+        assert np.isclose(s[0], x[0])
+        assert np.isclose(s[1], x[:2].mean())
+        assert np.isclose(s[5], x[2:5].sum() / 3)
+
+    def test_center_moving_average_clips(self):
+        x = np.linspace(-1, 2, 50)
+        s = moving_average(x, 8, "center")
+        assert s.min() >= 0 and s.max() <= 1
+
+
+class TestSuppressionAndAlarm:
+    def test_startup_suppression(self):
+        p = np.array([0.9, 0.4, 0.8, 0.9])
+        out = startup_suppression(p, 2)
+        np.testing.assert_allclose(out, [0.0, 0.4, 0.8, 0.9])
+
+    def test_alarm_and_warning(self):
+        t = np.linspace(0, 3, 300)
+        p = np.where(t > 2.0, 0.9, 0.1)
+        ta = alarm_times(t, p, 0.5)
+        assert ta is not None and 2.0 <= ta <= 2.02
+        w = warning_time(ta, 2.5)
+        assert 0.45 <= w <= 0.5
+        assert alarm_times(t, np.zeros_like(t)) is None
+
+
+class TestVideoSweepAlignment:
+    def test_sweep_covers_expected_windows(self):
+        """A sweeper with an identity-ish model: verify probs length and
+        padding alignment of predict_video_shot."""
+        from flax import linen as nn
+
+        from kstar_tpu.infer.continuous import predict_video_shot
+
+        class Toy(nn.Module):
+            @nn.compact
+            def __call__(self, x, train=False):
+                # logits depend on mean brightness so window identity matters
+                m = x.mean(axis=(1, 2, 3, 4), keepdims=False)
+                return jnp.stack([m, -m], axis=-1)
+
+        model = Toy()
+        frames = np.random.default_rng(0).integers(
+            0, 255, (120, 32, 32, 3), dtype=np.uint8)
+        v = model.init(jax.random.key(0), jnp.zeros((1, 8, 16, 16, 3)))
+        time_x, probs = predict_video_shot(
+            model, v.get("params", {}), {}, frames, frame_srt=10, frame_end=100,
+            seq_len=8, dist=2, crop_size=16, batch_size=16,
+            compute_dtype=jnp.float32)
+        # prob_list = zeros(seq_len + frame_srt) + inner probs
+        assert (probs[:18] == 0).all()
+        assert len(time_x) == len(probs)
+        assert probs.min() >= 0 and probs.max() <= 1
