@@ -156,10 +156,13 @@ class VideoStore:
         return self.arrays[int(shot)].shape[0]
 
     def gather(self, shot: int, frame_idx: np.ndarray) -> np.ndarray:
-        """(N, T) frame indices -> (N, T, H, W, 3) uint8."""
+        """(N, T) frame indices -> (N, T, H, W, 3) uint8 via the native
+        multithreaded gather (data/native.py) with numpy fallback."""
+        from .native import gather_windows_u8
+
         arr = self.arrays[int(shot)]
         idx = np.clip(frame_idx, 0, arr.shape[0] - 1)
-        return np.asarray(arr[idx])
+        return gather_windows_u8(arr, idx)
 
 
 class VideoDataset:

@@ -309,13 +309,10 @@ def predict_multimodal_shot(
     t_offsets = jnp.asarray(-tau * np.arange(seq_len - 1, -1, -1))
     mean = jnp.asarray(PIXEL_MEAN_BGR, jnp.float32)
 
-    def step(frames, ts_data, v_starts, t_starts):
+    def chunk_probs(frames, ts_data, v_starts, t_starts):
         vi = jnp.clip(v_starts[:, None] + v_offsets[None, :], 0, frames.shape[0] - 1)
         win = frames[vi]
-        H, W = win.shape[2], win.shape[3]
-        y0, x0 = H // 2 - crop_size // 2, W // 2 - crop_size // 2
-        x = win[:, :, y0:y0 + crop_size, x0:x0 + crop_size, :].astype(jnp.float32) - mean
-        x = x.astype(compute_dtype)
+        x = (win.astype(jnp.float32) - mean).astype(compute_dtype)
         ti = jnp.clip(t_starts[:, None] + t_offsets[None, :], 0, ts_data.shape[0] - 1)
         x_ts = ts_data[ti]
         out = model.apply({"params": params, "batch_stats": batch_stats},
@@ -323,22 +320,31 @@ def predict_multimodal_shot(
         logits = out[0] if isinstance(out, tuple) else out
         return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[:, 0]
 
-    step = jax.jit(step)
-    frames_dev = jax.device_put(np.ascontiguousarray(frames_u8))
+    def sweep_all(frames, ts_data, v_chunks, t_chunks):
+        def body(_, vt):
+            return None, chunk_probs(frames, ts_data, vt[0], vt[1])
+        _, p = jax.lax.scan(body, None, (v_chunks, t_chunks))
+        return p
+
+    sweep_all = jax.jit(sweep_all)
+    # pre-crop once on host; whole sweep is one device dispatch
+    H, W = frames_u8.shape[1], frames_u8.shape[2]
+    y0, x0 = H // 2 - crop_size // 2, W // 2 - crop_size // 2
+    frames_dev = jax.device_put(np.ascontiguousarray(
+        frames_u8[:, y0:y0 + crop_size, x0:x0 + crop_size, :]))
     ts_dev = jax.device_put(np.ascontiguousarray(data.astype(np.float32)))
 
-    probs = np.zeros(m, np.float32)
     B = batch_size
-    v_arr = np.asarray(video_keep, np.int64)
-    t_arr = np.asarray(ts_keep, np.int64)
-    for i in range(0, m, B):
-        vc, tc = v_arr[i: i + B], t_arr[i: i + B]
-        pad = B - len(vc)
-        if pad:
-            vc = np.concatenate([vc, np.full(pad, vc[-1])])
-            tc = np.concatenate([tc, np.full(pad, tc[-1])])
-        p = np.asarray(step(frames_dev, ts_dev, jnp.asarray(vc), jnp.asarray(tc)))
-        probs[i: i + B - pad if pad else i + B] = p[: B - pad] if pad else p
+    n_chunks = (m + B - 1) // B
+    n_buck = 1 << (n_chunks - 1).bit_length()
+    v_pad = np.zeros(n_buck * B, np.int64)
+    t_pad = np.zeros(n_buck * B, np.int64)
+    v_pad[:m] = np.asarray(video_keep, np.int64)
+    t_pad[:m] = np.asarray(ts_keep, np.int64)
+    p = np.asarray(sweep_all(frames_dev, ts_dev,
+                             jnp.asarray(v_pad.reshape(n_buck, B)),
+                             jnp.asarray(t_pad.reshape(n_buck, B))))
+    probs = p.reshape(-1)[:m]
 
     # piecewise time-axis reconstruction (reference utility.py:1136-1160)
     t_first = float(times[ts_keep[0]])
