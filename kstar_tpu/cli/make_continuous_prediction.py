@@ -42,11 +42,11 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
-    from ..config import DT_0D, Schema, TransformerConfig, ViViTConfig
+    from ..config import DT_0D, OptimConfig, Schema, TransformerConfig, ViViTConfig
     from ..data.splits import Scaler
     from ..infer import alarm_times, predict_0d_shot, predict_video_shot, warning_time
     from ..models import build_0d_model, build_video_model
-    from ..train import OptimConfig, create_train_state, load_checkpoint
+    from ..train import create_train_state, load_checkpoint
     from ..viz import plot_shot_probability, render_realtime_gif
     from .common import load_data
 
