@@ -51,6 +51,9 @@ def add_common_args(p: argparse.ArgumentParser, batch_size: int = 64) -> None:
     p.add_argument("--threshold", type=float, default=0.5)
     p.add_argument("--compute_dtype", type=str, default="bfloat16",
                    choices=["bfloat16", "float32"])
+    p.add_argument("--dp", type=int, default=0,
+                   help="data-parallel over N devices (0 = single device); "
+                        "replaces the reference's DDP (src/distributed.py)")
 
 
 def configs_from_args(args) -> Tuple[TrainConfig, LossConfig, OptimConfig]:
@@ -103,3 +106,25 @@ def load_data(args, need_video: bool = False, dt: float = 4.0 / 210.0):
 def make_tag(model: str, args, loss_cfg, train_cfg) -> str:
     return tag_for(model, args.seq_len, args.dist, loss_cfg, train_cfg,
                    use_sampling=args.use_sampling)
+
+
+def setup_dp(args, state):
+    """Build the data-parallel mesh when --dp N is set: replicate the train
+    state and return (state, mesh, put) where put shards host batches over
+    the mesh (the DistributedSampler equivalent). Multi-host callers run
+    jax.distributed.initialize() first."""
+    if not getattr(args, "dp", 0):
+        return state, None, None
+    import jax
+
+    from ..config import MeshConfig
+    from ..parallel import make_mesh, put_batch, replicate_state
+
+    mesh = make_mesh(MeshConfig(data=args.dp, model=1), jax.devices()[: args.dp])
+    state = replicate_state(state, mesh)
+
+    def put(batch_and_labels):
+        batch, labels = batch_and_labels
+        return put_batch(mesh, batch), put_batch(mesh, labels)
+
+    return state, mesh, put

@@ -97,9 +97,54 @@ def main(argv=None):
                         save_csv=os.path.join(args.save_dir, f"{tag}_detail.csv"))
         return results
 
-    raise NotImplementedError(
-        "vision evaluation: use kstar_tpu.cli.train_vision with num_epoch=0-style "
-        "reload, or the make_continuous_prediction CLI for prob curves")
+    # --- vision -------------------------------------------------------------
+    import jax
+    import jax.numpy as jnp
+
+    from ..config import AugmentConfig
+    from ..data import VideoDataset, split_shots
+    from ..data.device_pipe import DevicePreprocessor
+    from ..eval.evaluate import evaluate_probs, format_report
+    from ..losses import ldam_margins
+    from ..models import build_video_model
+    from ..train import create_train_state, load_checkpoint
+    from ..train.loop import make_eval_step, run_eval_epoch
+    from .common import load_data
+    from .train_vision import model_config as vision_model_config
+
+    test_shot = None if args.synthetic else args.test_shot_num
+    disrupt_df, ts_df, store = load_data(args, need_video=True)
+    shots = sorted(store.arrays.keys())
+    train_s, valid_s, test_s = split_shots(shots, test_shot)
+
+    # reconstruct the vision config from the mirrored args
+    ns = argparse.Namespace(**{**vars(args), "tau_alpha": 4, "tau_fast": 1,
+                               "layer_sizes": [1, 2, 2, 1],
+                               "embedd_dropout": args.dropout})
+    cfg, seq_len = vision_model_config(ns)
+    dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
+    model = build_video_model(args.model, cfg, dtype=dtype)
+
+    crop = min(args.image_size, store.arrays[shots[0]].shape[1])
+    put_eval = DevicePreprocessor(crop, AugmentConfig(), train=False, out_dtype=dtype)
+    ds = VideoDataset(store, disrupt_df, test_s, seq_len=seq_len, dist=args.dist)
+    x0, _ = put_eval(ds.batch(np.arange(min(8, len(ds)))))
+    state = create_train_state(model, x0, jax.random.key(0), optim_cfg)
+    state = load_checkpoint(state, ckpt)
+
+    eval_step = make_eval_step(model, loss_cfg)
+    counts = ds.class_counts()
+    w = jnp.ones(2)
+    m = jnp.asarray(ldam_margins(counts, loss_cfg.ldam_max_m))
+    _, _, _, (probs, labels) = run_eval_epoch(
+        eval_step, state, ds, args.batch_size, w, m, jnp.zeros(3),
+        put=put_eval, collect_probs=True)
+    results = evaluate_probs(probs, labels, args.threshold)
+    os.makedirs(args.save_dir, exist_ok=True)
+    with open(os.path.join(args.save_dir, f"{tag}_eval_report.txt"), "w") as f:
+        f.write(format_report(results))
+    print(f"test macro-F1 {results['macro_f1']:.4f} | ROC-AUC {results['roc_auc']:.4f}")
+    return results
 
 
 if __name__ == "__main__":

@@ -99,6 +99,13 @@ def main(argv=None):
         plot_shot_probability(d, t_0d, p_0d, shot, float(row.tftsrt),
                               float(row.tTQend), float(row.tipminf),
                               save_path=os.path.join(args.save_dir, f"prob_0D_{shot}.png"))
+        if args.gif:
+            # 0D real-time animation (reference generate_real_time_experiment_0D,
+            # src/visualization/visualize_application.py:354-527)
+            render_realtime_gif(
+                frames, t_0d, p_0d, shot, float(row.tipminf),
+                save_path=os.path.join(
+                    args.save_dir, f"real_time_disruption_prediction_0D_{shot}.gif"))
 
     # --- figures + GIF -------------------------------------------------------
     os.makedirs(args.save_dir, exist_ok=True)

@@ -102,8 +102,10 @@ def main(argv=None):
     writer = MetricWriter(os.path.join(args.save_dir, "tensorboard", tag))
     sampler = ImbalancedSampler(train_ds.labels) if args.use_sampling else None
 
+    from .common import setup_dp
+    state, mesh, put = setup_dp(args, state)
     state, hist = fit(model, state, train_ds, valid_ds, train_cfg, loss_cfg,
-                      tag=tag, sampler=sampler, writer=writer)
+                      tag=tag, sampler=sampler, writer=writer, put=put)
     plot_learning_curve(hist, os.path.join(args.save_dir, f"{tag}_learning_curve.png"))
 
     results = evaluate(model, state, test_ds, loss_cfg,

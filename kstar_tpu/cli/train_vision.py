@@ -115,14 +115,23 @@ def main(argv=None):
         horizontal_p=args.horizontal_p)
 
     crop = min(args.image_size, store.arrays[shots[0]].shape[1])
+    mesh = None
+    if args.dp:
+        import jax as _jax
+        from ..config import MeshConfig
+        from ..parallel import make_mesh
+        mesh = make_mesh(MeshConfig(data=args.dp, model=1), _jax.devices()[: args.dp])
     put_train = DevicePreprocessor(crop, aug, train=True, out_dtype=dtype,
-                                   seed=args.random_seed)
-    put_eval = DevicePreprocessor(crop, aug, train=False, out_dtype=dtype)
+                                   seed=args.random_seed, mesh=mesh)
+    put_eval = DevicePreprocessor(crop, aug, train=False, out_dtype=dtype, mesh=mesh)
 
     x0, _ = put_eval(train_ds.batch(np.arange(min(args.batch_size, len(train_ds)))))
     steps = max(len(train_ds) // args.batch_size, 1)
     state = create_train_state(model, x0, jax.random.key(args.random_seed),
                                optim_cfg, steps_per_epoch=steps)
+    if mesh is not None:
+        from ..parallel import replicate_state
+        state = replicate_state(state, mesh)
 
     tag = args.tag or make_tag(args.model, args, loss_cfg, train_cfg)
     writer = MetricWriter(os.path.join(args.save_dir, "tensorboard", tag))

@@ -28,20 +28,28 @@ class DevicePreprocessor:
     """
 
     def __init__(self, crop_size: int, cfg: Optional[AugmentConfig] = None,
-                 train: bool = True, out_dtype=jnp.bfloat16, seed: int = 0):
+                 train: bool = True, out_dtype=jnp.bfloat16, seed: int = 0,
+                 mesh=None):
         self.crop_size = crop_size
         self.cfg = cfg or AugmentConfig()
         self.train = train
         self.out_dtype = out_dtype
         self._key = jax.random.key(seed)
         self._counter = 0
+        self.mesh = mesh  # shard the batch axis over the mesh's data axis
 
     def _next_key(self):
         self._counter += 1
         return jax.random.fold_in(self._key, self._counter)
 
+    def _put(self, x):
+        if self.mesh is not None:
+            from ..parallel.mesh import put_batch
+            return put_batch(self.mesh, x)
+        return jnp.asarray(x)
+
     def _video(self, v: np.ndarray):
-        return preprocess_batch(self._next_key(), jnp.asarray(v), self.crop_size,
+        return preprocess_batch(self._next_key(), self._put(v), self.crop_size,
                                 self.cfg, self.train, self.out_dtype)
 
     def __call__(self, batch_and_labels: Tuple):
@@ -49,6 +57,6 @@ class DevicePreprocessor:
         if isinstance(batch, dict):
             out = dict(batch)
             out["video"] = self._video(batch["video"])
-            out["0D"] = jnp.asarray(batch["0D"])
-            return out, jnp.asarray(labels)
-        return self._video(batch), jnp.asarray(labels)
+            out["0D"] = self._put(batch["0D"])
+            return out, self._put(labels)
+        return self._video(batch), self._put(labels)

@@ -121,6 +121,30 @@ def engineer_features(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def sync_video_0d(ts_df: pd.DataFrame, disrupt_df: pd.DataFrame,
+                  fps: float = FPS) -> pd.DataFrame:
+    """Video/0D synchronization table (rebuild of reference
+    src/generate_sync_video_0D.py): one row per 0D sample with the matching
+    camera frame index and the time distance to the quench, used for
+    aligning legacy clip folders to table rows. The modern pipeline matches
+    indices directly (data/windows.py:multimodal_windows); this table is
+    kept for dataset auditing."""
+    rows = []
+    for shot in np.unique(ts_df.shot.values):
+        if shot not in set(disrupt_df.shot.values.tolist()):
+            continue
+        r = disrupt_df[disrupt_df.shot == shot].iloc[0]
+        d = ts_df[ts_df.shot == shot]
+        t = d.time.values
+        frame_idx = np.clip((t * fps).astype(int), 0, int(r.frame_cutoff))
+        rows.append(pd.DataFrame({
+            "shot": shot, "time": t, "frame_idx": frame_idx,
+            "t_to_quench": float(r.tipminf) - t,
+            "in_plasma": (t >= float(r.tftsrt)) & (t <= float(r.tipminf)),
+        }))
+    return pd.concat(rows, ignore_index=True) if rows else pd.DataFrame()
+
+
 def build_0d_table(
     raw: pd.DataFrame,
     disrupt_df: pd.DataFrame,
