@@ -67,9 +67,20 @@ def make_stream_step(model, loss_cfg: LossConfig, stream: str) -> Callable:
         grads = jax.tree.map(lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
         candidate = state.apply_gradients(grads, new_batch_stats=new_stats)
         sel = lambda new, old: jax.tree.map(lambda n, o: jnp.where(finite, n, o), new, old)
+        new_params = sel(candidate.params, state.params)
+
+        # torch skips params with grad=None, so the inactive stream must not
+        # move (AdamW weight decay would otherwise shrink it): restore the
+        # frozen top-level subtrees (reference GB_estimate trains one stream
+        # at a time, src/GradientBlending.py:74-76)
+        keep = {"video": ("vis_model",), "0D": ("ts_model",)}.get(stream)
+        if keep is not None:
+            new_params = {k: (new_params[k] if k in keep else state.params[k])
+                          for k in state.params}
+
         return state.replace(
             step=jnp.where(finite, candidate.step, state.step),
-            params=sel(candidate.params, state.params),
+            params=new_params,
             batch_stats=sel(candidate.batch_stats, state.batch_stats),
             opt_state=sel(candidate.opt_state, state.opt_state),
         ), loss
