@@ -66,6 +66,36 @@ def eval_batches(n: int, batch_size: int) -> Iterator[Tuple[np.ndarray, np.ndarr
         yield idx, mask
 
 
+def threaded_batches(dataset, index_iter, put: Optional[Callable] = None,
+                     n_workers: int = 2, depth: int = 4):
+    """Background-thread batch gathering: host window gathers (and optional
+    device puts) run ahead of consumption so TPU steps never wait on IO —
+    the single-process replacement for torch DataLoader workers."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    indices = list(index_iter)
+    SENTINEL = object()
+
+    def producer():
+        for idx in indices:
+            item = dataset.batch(idx)
+            if put is not None:
+                item = put(item)
+            q.put(item)
+        q.put(SENTINEL)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is SENTINEL:
+            break
+        yield item
+    t.join()
+
+
 def prefetch_to_device(iterator, put: Callable, depth: int = 2):
     """Double-buffer host batches onto the device: keep ``depth`` batches in
     flight so host gather overlaps TPU compute (replaces DataLoader

@@ -158,19 +158,26 @@ def _loss_aux(loss_cfg: LossConfig, cls_counts: np.ndarray, epoch: int, num_epoc
 
 
 def run_train_epoch(train_step, state, dataset, batch_size, rng, weight, m_list,
-                    gb_w, sampler=None, put=None):
-    from ..data.loader import epoch_batches
+                    gb_w, sampler=None, put=None, prefetch=True):
+    from ..data.loader import epoch_batches, threaded_batches
 
     losses, n_samples = 0.0, 0
     all_preds, all_labels = [], []
-    for idx in epoch_batches(len(dataset), batch_size, rng, sampler=sampler):
-        batch, labels = dataset.batch(idx)
-        if put is not None:
-            batch, labels = put((batch, labels))
+    idx_iter = epoch_batches(len(dataset), batch_size, rng, sampler=sampler)
+    if prefetch:
+        # background host gather (+ device put) overlaps TPU compute
+        batch_iter = threaded_batches(dataset, idx_iter, put)
+    else:
+        def _plain():
+            for idx in idx_iter:
+                item = dataset.batch(idx)
+                yield put(item) if put is not None else item
+        batch_iter = _plain()
+    for batch, labels in batch_iter:
         state, loss, preds = train_step(state, batch, jnp.asarray(labels),
                                         weight, m_list, gb_w)
         losses += float(loss)
-        n_samples += len(idx)
+        n_samples += batch_size
         all_preds.append(np.asarray(preds))
         all_labels.append(np.asarray(labels))
     if n_samples == 0:
