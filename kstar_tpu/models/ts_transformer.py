@@ -111,7 +111,7 @@ class TransformerEncoder0D(nn.Module):
         # connector (reference :82-86)
         x = nn.Dense(self.feature_dims, dtype=self.dtype, name="connector")(x)
         x = nn.LayerNorm(dtype=jnp.float32, name="connector_ln")(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)  # torch nn.GELU default (erf)
         return x.astype(jnp.float32)
 
 
