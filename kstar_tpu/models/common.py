@@ -58,7 +58,10 @@ class MLPHead(nn.Module):
 
 def apply_act(x: jnp.ndarray, act: str, alpha: float = 1.0) -> jnp.ndarray:
     if act == "elu":
-        return nn.elu(x)  # flax elu has fixed alpha=1.0; reference default alpha==1.0
+        # torch nn.ELU(alpha): x if x > 0 else alpha * (exp(x) - 1)
+        if alpha == 1.0:
+            return nn.elu(x)
+        return jnp.where(x > 0, x, alpha * jnp.expm1(x))
     if act == "relu":
         return nn.relu(x)
     if act == "leaky_relu":

@@ -32,19 +32,28 @@ def _middle_channels(kt: int, ks: int, cin: int, cout: int) -> int:
     return int(math.floor((kt * ks * ks * cin * cout) / (ks * ks * cin + kt * cout)))
 
 
+def _sym(p: Tuple[int, int, int]):
+    """torch-style symmetric padding triple -> flax [(lo,hi)] list.
+
+    Stride-2 convs pad differently under XLA 'SAME' (asymmetric) than torch
+    (symmetric); explicit padding keeps numerical parity with the reference.
+    """
+    return [(p[0], p[0]), (p[1], p[1]), (p[2], p[2])]
+
+
 class Conv3dBN(nn.Module):
     """Conv3d + BatchNorm + LeakyReLU (reference Conv3dBlock, :25-59)."""
     features: int
     kernel: Tuple[int, int, int]
     stride: Tuple[int, int, int] = (1, 1, 1)
-    padding: Any = "SAME"
+    padding: Tuple[int, int, int] = (1, 1, 1)
     alpha: float = 0.01
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         x = nn.Conv(self.features, self.kernel, strides=self.stride,
-                    padding=self.padding, use_bias=False, dtype=self.dtype)(x)
+                    padding=_sym(self.padding), use_bias=False, dtype=self.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32)(x)
         return nn.leaky_relu(x, negative_slope=self.alpha).astype(self.dtype)
 
@@ -63,19 +72,21 @@ class SpatioTemporalConv(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         kt, kh, kw = self.kernel
         st, sh, sw = self.stride
+        pt, ph, pw = kt // 2, kh // 2, kw // 2
         if self.is_first:
-            # stem: fixed middle width 45, spatial 1x7x7 then temporal 3x1x1
+            # stem: fixed middle width 45, spatial 1x7x7 pad (0,3,3) then
+            # temporal 3x1x1 pad (1,0,0) (reference :137-146)
             mid = 45
-            x = Conv3dBN(mid, (1, kh, kw), (1, sh, sw), "SAME", self.alpha,
+            x = Conv3dBN(mid, (1, kh, kw), (1, sh, sw), (0, ph, pw), self.alpha,
                          self.dtype, name="spatial")(x, train)
-            x = Conv3dBN(self.features, (3, 1, 1), (st, 1, 1), "SAME", self.alpha,
+            x = Conv3dBN(self.features, (3, 1, 1), (st, 1, 1), (1, 0, 0), self.alpha,
                          self.dtype, name="temporal")(x, train)
         else:
             cin = x.shape[-1]
             mid = max(_middle_channels(kt, kh, cin, self.features), 1)
-            x = Conv3dBN(mid, (1, kh, kw), (1, sh, sw), "SAME", self.alpha,
+            x = Conv3dBN(mid, (1, kh, kw), (1, sh, sw), (0, ph, pw), self.alpha,
                          self.dtype, name="spatial")(x, train)
-            x = Conv3dBN(self.features, (kt, 1, 1), (st, 1, 1), "SAME", self.alpha,
+            x = Conv3dBN(self.features, (kt, 1, 1), (st, 1, 1), (pt, 0, 0), self.alpha,
                          self.dtype, name="temporal")(x, train)
         return x
 
@@ -155,8 +166,10 @@ class R2Plus1DClassifier(nn.Module):
 
     def setup(self):
         self.backbone = R2Plus1DNet(tuple(self.layer_sizes), self.alpha, self.dtype)
+        # head ELU uses the same alpha as the backbone's LeakyReLU slope
+        # (reference R2Plus1DClassifier passes one alpha to both, :228-248)
         self.head = MLPHead(64, self.n_classes, norm="batch", act="elu",
-                            alpha=1.0, dtype=jnp.float32)
+                            alpha=self.alpha, dtype=jnp.float32)
 
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         return self.head(self.backbone(x, train), train=train)

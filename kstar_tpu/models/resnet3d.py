@@ -52,8 +52,8 @@ class Bottleneck3D(nn.Module):
         residual = x
 
         if self.head_conv == 3:
-            out = nn.Conv(self.planes, (3, 1, 1), padding="SAME", use_bias=False,
-                          dtype=self.dtype, name="conv1")(x)
+            out = nn.Conv(self.planes, (3, 1, 1), padding=[(1, 1), (0, 0), (0, 0)],
+                          use_bias=False, dtype=self.dtype, name="conv1")(x)
         else:
             out = nn.Conv(self.planes, (1, 1, 1), use_bias=False,
                           dtype=self.dtype, name="conv1")(x)
@@ -61,7 +61,8 @@ class Bottleneck3D(nn.Module):
         out = nn.relu(out).astype(self.dtype)
 
         out = nn.Conv(self.planes, (1, 3, 3), strides=(1, self.stride, self.stride),
-                      padding="SAME", use_bias=False, dtype=self.dtype, name="conv2")(out)
+                      padding=[(0, 0), (1, 1), (1, 1)], use_bias=False,
+                      dtype=self.dtype, name="conv2")(out)
         out = nn.BatchNorm(use_running_average=ra, dtype=jnp.float32, name="bn2")(out)
         out = nn.relu(out).astype(self.dtype)
 
@@ -118,9 +119,10 @@ class Stem3D(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        x = nn.Conv(self.features, (1, 7, 7), strides=(1, 2, 2), padding="SAME",
-                    dtype=self.dtype, name="conv")(x)
+        x = nn.Conv(self.features, (1, 7, 7), strides=(1, 2, 2),
+                    padding=[(0, 0), (3, 3), (3, 3)], dtype=self.dtype, name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32, name="bn")(x)
         x = nn.relu(x).astype(self.dtype)
-        x = nn.max_pool(x, (1, 3, 3), strides=(1, 2, 2), padding="SAME")
+        x = nn.max_pool(x, (1, 3, 3), strides=(1, 2, 2),
+                        padding=[(0, 0), (1, 1), (1, 1)])
         return x
