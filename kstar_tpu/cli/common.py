@@ -54,6 +54,10 @@ def add_common_args(p: argparse.ArgumentParser, batch_size: int = 64) -> None:
     p.add_argument("--dp", type=int, default=0,
                    help="data-parallel over N devices (0 = single device); "
                         "replaces the reference's DDP (src/distributed.py)")
+    p.add_argument("--resume", action="store_true",
+                   help="resume exactly from <tag>_last.ckpt (full state: "
+                        "params+opt+rng+step; the reference only reloads "
+                        "weights, src/train.py:249-264)")
 
 
 def configs_from_args(args) -> Tuple[TrainConfig, LossConfig, OptimConfig]:

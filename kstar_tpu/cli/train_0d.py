@@ -102,6 +102,13 @@ def main(argv=None):
     writer = MetricWriter(os.path.join(args.save_dir, "tensorboard", tag))
     sampler = ImbalancedSampler(train_ds.labels) if args.use_sampling else None
 
+    if args.resume:
+        from ..train import load_checkpoint
+        last = os.path.join(args.weight_dir, f"{tag}_last.ckpt")
+        if os.path.exists(last):
+            state = load_checkpoint(state, last)
+            print(f"resumed from {last} at step {int(state.step)}")
+
     from .common import setup_dp
     state, mesh, put = setup_dp(args, state)
     state, hist = fit(model, state, train_ds, valid_ds, train_cfg, loss_cfg,
