@@ -132,3 +132,40 @@ def load_params(state_template: TrainState, path: str):
     """Restore only (params, batch_stats) for inference."""
     restored = load_checkpoint(state_template, path)
     return restored.params, restored.batch_stats
+
+
+# ---------------------------------------------------------------------------
+# orbax backend (sharded / async checkpoints for multi-chip runs)
+# ---------------------------------------------------------------------------
+
+def save_checkpoint_orbax(state: TrainState, path: str) -> None:
+    """Sharded checkpoint via orbax — preserves device shardings, scales to
+    multi-host; use for large mesh runs (msgpack path gathers to host)."""
+    import orbax.checkpoint as ocp
+
+    payload = {
+        "step": state.step,
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "rng": jax.random.key_data(state.rng),
+    }
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), payload, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_checkpoint_orbax(state: TrainState, path: str) -> TrainState:
+    import orbax.checkpoint as ocp
+
+    template = {
+        "step": state.step,
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "rng": jax.random.key_data(state.rng),
+    }
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(os.path.abspath(path), template)
+    restored["rng"] = jax.random.wrap_key_data(restored["rng"])
+    return state.replace(**restored)
