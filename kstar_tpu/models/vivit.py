@@ -112,7 +112,15 @@ def patchify(x: jnp.ndarray, patch: int) -> jnp.ndarray:
 
 class ViViTEncoder(nn.Module):
     """Encoder emitting the (B, dim) latent (reference ViViTEncoder,
-    src/models/ViViT.py:226-299)."""
+    src/models/ViViT.py:226-299).
+
+    Split into ``embed_frames`` (per-frame patch embedding — independent of
+    the frame's offset within a clip) and ``encode_tokens`` (offset-dependent
+    positional embedding + transformers). The continuous-inference sweep
+    exploits this: embed every frame of a shot once, then gather embedded
+    tokens per sliding window — ~6x less gather traffic than pixels and no
+    recomputed embeddings across the ~seq_len windows sharing each frame.
+    """
     image_size: int = 128
     patch_size: int = 16
     n_frames: int = 21
@@ -128,43 +136,60 @@ class ViViTEncoder(nn.Module):
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        det = not train
-        B, T = x.shape[0], x.shape[1]
+    def setup(self):
         n_patches = (self.image_size // self.patch_size) ** 2
+        self.patch_embed = nn.Dense(self.dim, dtype=self.dtype)
+        self.space_token = self.param("space_token", nn.initializers.normal(1.0),
+                                      (1, 1, self.dim), jnp.float32)
+        self.temporal_token = self.param("temporal_token", nn.initializers.normal(1.0),
+                                         (1, 1, self.dim), jnp.float32)
+        self.pos_embedding = self.param("pos_embedding", nn.initializers.normal(1.0),
+                                        (1, self.n_frames, n_patches + 1, self.dim),
+                                        jnp.float32)
+        self.embed_drop = nn.Dropout(self.embedd_dropout)
+        self.space_transformer = PreNormTransformer(
+            self.dim, self.depth, self.n_heads, self.d_head,
+            self.dim * self.scale_dim, self.dropout, self.dtype, self.use_pallas)
+        self.temporal_transformer = PreNormTransformer(
+            self.dim, self.depth, self.n_heads, self.d_head,
+            self.dim * self.scale_dim, self.dropout, self.dtype, self.use_pallas)
 
-        x = x.astype(self.dtype)
-        x = patchify(x, self.patch_size)
-        x = nn.Dense(self.dim, dtype=self.dtype, name="patch_embed")(x)  # (B,T,N,D)
+    def embed_frames(self, x: jnp.ndarray) -> jnp.ndarray:
+        """(B, T, H, W, C) or (T, H, W, C) pixels -> (..., N, dim) patch
+        embeddings (no cls token / positional embedding — offset-free)."""
+        squeeze = x.ndim == 4
+        if squeeze:
+            x = x[None]
+        x = patchify(x.astype(self.dtype), self.patch_size)
+        x = self.patch_embed(x)
+        return x[0] if squeeze else x
 
-        space_token = self.param("space_token", nn.initializers.normal(1.0),
-                                 (1, 1, self.dim), jnp.float32)
-        temporal_token = self.param("temporal_token", nn.initializers.normal(1.0),
-                                    (1, 1, self.dim), jnp.float32)
-        pos = self.param("pos_embedding", nn.initializers.normal(1.0),
-                         (1, self.n_frames, n_patches + 1, self.dim), jnp.float32)
+    def encode_tokens(self, tokens: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        """(B, T, N, dim) embedded patches -> (B, dim) pooled latent."""
+        det = not train
+        B, T = tokens.shape[0], tokens.shape[1]
+        x = tokens.astype(self.dtype)
 
-        cls_s = jnp.broadcast_to(space_token.astype(self.dtype), (B, T, 1, self.dim))
+        cls_s = jnp.broadcast_to(self.space_token.astype(self.dtype),
+                                 (B, T, 1, self.dim))
         x = jnp.concatenate([cls_s, x], axis=2)                    # (B,T,N+1,D)
-        x = x + pos[:, :T, : x.shape[2]].astype(self.dtype)
-        x = nn.Dropout(self.embedd_dropout)(x, deterministic=det)
+        x = x + self.pos_embedding[:, :T, : x.shape[2]].astype(self.dtype)
+        x = self.embed_drop(x, deterministic=det)
 
-        # spatial transformer over (B*T) sequences of N+1 tokens
         x = x.reshape(B * T, x.shape[2], self.dim)
-        x = PreNormTransformer(self.dim, self.depth, self.n_heads, self.d_head,
-                               self.dim * self.scale_dim, self.dropout, self.dtype,
-                               self.use_pallas, name="space_transformer")(x, det)
+        x = self.space_transformer(x, det)
         x = x[:, 0].reshape(B, T, self.dim)                        # spatial cls
 
-        cls_t = jnp.broadcast_to(temporal_token.astype(self.dtype), (B, 1, self.dim))
+        cls_t = jnp.broadcast_to(self.temporal_token.astype(self.dtype),
+                                 (B, 1, self.dim))
         x = jnp.concatenate([cls_t, x], axis=1)                    # (B,T+1,D)
-        x = PreNormTransformer(self.dim, self.depth, self.n_heads, self.d_head,
-                               self.dim * self.scale_dim, self.dropout, self.dtype,
-                               self.use_pallas, name="temporal_transformer")(x, det)
+        x = self.temporal_transformer(x, det)
 
         x = x.mean(axis=1) if self.pool == "mean" else x[:, 0]
         return x.astype(jnp.float32)
+
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        return self.encode_tokens(self.embed_frames(x), train)
 
 
 class ViViT(nn.Module):
@@ -215,3 +240,11 @@ class ViViT(nn.Module):
     def forward_with_latent(self, x: jnp.ndarray, train: bool = False):
         h = self.encoder(x, train)
         return self.classify(h), h
+
+    def embed_frames(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Offset-free per-frame patch embeddings (see ViViTEncoder)."""
+        return self.encoder.embed_frames(x)
+
+    def forward_tokens(self, tokens: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        """Logits from pre-embedded (B, T, N, dim) patch tokens."""
+        return self.classify(self.encoder.encode_tokens(tokens, train))
