@@ -1,0 +1,86 @@
+"""Tests for smaller utilities: sync table, threaded prefetch, device pipe,
+model summary, tags."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from kstar_tpu.config import LossConfig, Schema, TrainConfig, tag_for
+
+
+class TestSyncTable:
+    def test_sync_video_0d(self, tiny_dataset):
+        from kstar_tpu.data.ts_pipeline import sync_video_0d
+
+        shots, disrupt_df, ts_df = tiny_dataset
+        table = sync_video_0d(ts_df, disrupt_df)
+        assert set(table.columns) >= {"shot", "time", "frame_idx",
+                                      "t_to_quench", "in_plasma"}
+        assert len(table) == len(ts_df)
+        # frame_idx monotonic per shot
+        for shot in table.shot.unique()[:2]:
+            f = table[table.shot == shot].frame_idx.values
+            assert (np.diff(f) >= 0).all()
+
+
+class TestThreadedBatches:
+    def test_yields_all_batches_in_order(self, tiny_dataset):
+        from kstar_tpu.data import TSDataset, prepare_0d_dataset
+        from kstar_tpu.data.loader import eval_batches, threaded_batches
+
+        shots, disrupt_df, ts_df = tiny_dataset
+        df_train, _, _, scaler = prepare_0d_dataset(ts_df, Schema.INPUT_FEATURES,
+                                                    test_shot=None)
+        ds = TSDataset(df_train, disrupt_df, Schema.INPUT_FEATURES, scaler=scaler)
+        idx_list = [idx for idx, _ in eval_batches(len(ds), 16)]
+        got = list(threaded_batches(ds, idx_list))
+        assert len(got) == len(idx_list)
+        # order and content preserved
+        x0, y0 = ds.batch(idx_list[0])
+        np.testing.assert_array_equal(got[0][0], x0)
+        np.testing.assert_array_equal(got[0][1], y0)
+
+
+class TestDevicePipeMesh:
+    def test_sharded_preprocess(self, tiny_dataset):
+        import jax
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from kstar_tpu.config import MeshConfig
+        from kstar_tpu.data.device_pipe import DevicePreprocessor
+        from kstar_tpu.parallel import make_mesh
+
+        mesh = make_mesh(MeshConfig(data=8, model=1), jax.devices()[:8])
+        pre = DevicePreprocessor(crop_size=32, train=False, mesh=mesh)
+        v = np.random.default_rng(0).integers(0, 255, (16, 4, 64, 64, 3),
+                                              dtype=np.uint8)
+        y = np.zeros(16, np.int64)
+        out, labels = pre((v, y))
+        assert out.shape == (16, 4, 32, 32, 3)
+        assert np.isfinite(np.asarray(out, dtype=np.float32)).all()
+
+
+class TestTagNaming:
+    def test_boost_types(self):
+        loss = LossConfig(loss_type="Focal")
+        train = TrainConfig(seed=42)
+        assert tag_for("ViViT", 21, 3, loss, train, use_sampling=True).endswith(
+            "Focal_RS_seed_42")
+        drw = LossConfig(loss_type="Focal", use_drw=True)
+        assert "RS_DRW" in tag_for("ViViT", 21, 3, drw, train, use_sampling=True)
+        assert "Normal" in tag_for("ViViT", 21, 3, loss, train)
+
+
+class TestModelSummary:
+    def test_tabulate(self):
+        import jax.numpy as jnp
+
+        from kstar_tpu.config import MLSTMFCNConfig
+        from kstar_tpu.models import build_0d_model
+        from kstar_tpu.utils import model_summary
+
+        m = build_0d_model("MLSTM_FCN", MLSTMFCNConfig(n_features=4, fcn_dim=8,
+                                                       seq_len=6, lstm_dim=4))
+        text = model_summary(m, jnp.zeros((1, 6, 4)), depth=2)
+        assert "MLSTMFCN" in text
