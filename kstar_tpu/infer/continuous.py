@@ -95,23 +95,36 @@ class VideoSweeper:
         mean = jnp.asarray(PIXEL_MEAN_BGR, compute_dtype)
         variables = {"params": params, "batch_stats": batch_stats}
 
-        # token fast path (ViViT): a frame's patch embedding is independent
-        # of its offset within a window, so embed each frame ONCE per shot
-        # and gather embedded tokens per window (~6x less gather traffic,
-        # no re-embedding across the ~seq_len windows sharing each frame)
-        self._use_tokens = hasattr(model, "embed_frames")
+        # ViViT fast path: (1) a frame's patch embedding is offset-free, so
+        # embed each frame ONCE per shot; (2) the spatial transformer depends
+        # only on (frame, in-window offset) and a stride-1 sweep uses every
+        # frame at every offset, so precompute the (L, T, D) spatial-cls
+        # table in load_shot — the per-window sweep then runs only the tiny
+        # temporal transformer over gathered cls embeddings.
+        self._use_tokens = hasattr(model, "spatial_cls")
 
         if self._use_tokens:
             def embed_all(frames_u8):
                 x = frames_u8.astype(compute_dtype) - mean       # (T, h, w, C)
-                return model.apply(variables, x, method="embed_frames")
+                tokens = model.apply(variables, x, method="embed_frames")
 
-            def chunk_probs(tokens, starts):
-                idx = jnp.clip(starts[:, None] + offsets[None, :], 0,
-                               tokens.shape[0] - 1)
-                win = tokens[idx]                                # (B, L, N, D)
-                logits = model.apply(variables, win, train=False,
-                                     method="forward_tokens")
+                def per_offset(_, off):
+                    cls = model.apply(variables, tokens, off, method="spatial_cls")
+                    return None, cls                             # (T, D)
+
+                _, cls_table = jax.lax.scan(per_offset, None,
+                                            jnp.arange(seq_len))
+                return cls_table                                 # (L, T, D)
+
+            def chunk_probs(cls_table, starts):
+                # window s uses frame s+1+k at offset k-1? no: frames
+                # [s+1, s+L] occupy offsets [0, L): frame s+1+k at offset k
+                frame_idx = jnp.clip(starts[:, None] + offsets[None, :], 0,
+                                     cls_table.shape[1] - 1)     # (B, L)
+                off_idx = jnp.arange(seq_len)[None, :]
+                win_cls = cls_table[off_idx, frame_idx]          # (B, L, D)
+                logits = model.apply(variables, win_cls,
+                                     method="forward_spatial_cls")
                 return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[:, 0]
 
             self._embed_all = jax.jit(embed_all)

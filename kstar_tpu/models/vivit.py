@@ -188,6 +188,39 @@ class ViViTEncoder(nn.Module):
         x = x.mean(axis=1) if self.pool == "mean" else x[:, 0]
         return x.astype(jnp.float32)
 
+    def spatial_cls(self, tokens: jnp.ndarray, offset: jnp.ndarray) -> jnp.ndarray:
+        """Spatial-transformer cls embedding for frames at a given in-window
+        offset. tokens (T, N, dim) embedded patches; offset scalar in
+        [0, n_frames). Returns (T, dim).
+
+        Because the positional embedding depends only on a frame's offset
+        within its window, a stride-1 sweep over a whole shot needs just
+        n_frames spatial passes over the shot — the sweep itself then runs
+        only the temporal transformer per window.
+        """
+        T = tokens.shape[0]
+        x = tokens.astype(self.dtype)
+        cls_s = jnp.broadcast_to(self.space_token.astype(self.dtype),
+                                 (T, 1, self.dim))
+        x = jnp.concatenate([cls_s, x], axis=1)                   # (T, N+1, D)
+        pos = jax.lax.dynamic_index_in_dim(self.pos_embedding[0], offset,
+                                           axis=0, keepdims=False)
+        x = x + pos[None, : x.shape[1]].astype(self.dtype)
+        x = self.space_transformer(x, True)                       # deterministic
+        return x[:, 0].astype(self.dtype)                         # (T, D)
+
+    def encode_spatial_cls(self, window_cls: jnp.ndarray) -> jnp.ndarray:
+        """(B, T, dim) per-frame spatial cls embeddings -> (B, dim) latent
+        (temporal transformer + pool only)."""
+        B = window_cls.shape[0]
+        x = window_cls.astype(self.dtype)
+        cls_t = jnp.broadcast_to(self.temporal_token.astype(self.dtype),
+                                 (B, 1, self.dim))
+        x = jnp.concatenate([cls_t, x], axis=1)
+        x = self.temporal_transformer(x, True)
+        x = x.mean(axis=1) if self.pool == "mean" else x[:, 0]
+        return x.astype(jnp.float32)
+
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         return self.encode_tokens(self.embed_frames(x), train)
 
@@ -248,3 +281,11 @@ class ViViT(nn.Module):
     def forward_tokens(self, tokens: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         """Logits from pre-embedded (B, T, N, dim) patch tokens."""
         return self.classify(self.encoder.encode_tokens(tokens, train))
+
+    def spatial_cls(self, tokens: jnp.ndarray, offset: jnp.ndarray) -> jnp.ndarray:
+        """Per-frame spatial cls at one in-window offset (see ViViTEncoder)."""
+        return self.encoder.spatial_cls(tokens, offset)
+
+    def forward_spatial_cls(self, window_cls: jnp.ndarray) -> jnp.ndarray:
+        """Logits from precomputed per-frame spatial cls embeddings."""
+        return self.classify(self.encoder.encode_spatial_cls(window_cls))
