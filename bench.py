@@ -147,16 +147,17 @@ def measure_tpu(frames: np.ndarray) -> float:
     n_windows = len(frames) - SEQ_LEN - 1
     starts = np.arange(n_windows, dtype=np.int64)
 
-    # warmup: compile the full-shot program (same chunk bucket) + upload once
-    sweeper.load_shot(frames)
-    sweeper.sweep(None, starts)
+    # warmup: upload the shot + compile the full-shot program
+    frames_dev = sweeper.upload_shot(frames)
+    sweeper.sweep_device(frames_dev, starts)
 
-    # steady state: frames resident in HBM (the serving scenario), one
-    # dispatch + readback per sweep; report the median of 3
+    # steady state: raw frames resident in HBM (the serving scenario); each
+    # sweep is ONE dispatch covering per-shot preprocessing (patch embedding
+    # + spatial table) AND all windows — the honest per-shot cost. Median of 3.
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        probs = sweeper.sweep(None, starts)
+        probs = sweeper.sweep_device(frames_dev, starts)
         times.append(time.perf_counter() - t0)
     assert np.isfinite(probs).all()
     return n_windows / float(np.median(times))

@@ -143,7 +143,17 @@ class VideoSweeper:
             _, probs = jax.lax.scan(body, None, start_chunks)
             return probs                                          # (n_chunks, B)
 
+        def sweep_shot(frames_dev, start_chunks):
+            """Whole-shot program: per-shot preprocessing (embedding +
+            spatial-cls table for ViViT) AND the window sweep in ONE
+            dispatch — the honest per-shot cost."""
+            data = self._embed_all_fn(frames_dev) if self._use_tokens else frames_dev
+            return sweep_all(data, start_chunks)
+
+        if self._use_tokens:
+            self._embed_all_fn = embed_all
         self._sweep_all = jax.jit(sweep_all)
+        self._sweep_shot = jax.jit(sweep_shot)
         self._frames_dev = None
 
     def load_shot(self, frames_u8: np.ndarray):
@@ -158,6 +168,17 @@ class VideoSweeper:
         self._frames_dev = self._embed_all(dev) if self._use_tokens else dev
         return self._frames_dev
 
+    def _chunkify(self, starts: np.ndarray):
+        n = len(starts)
+        B = self.batch_size
+        n_chunks = (n + B - 1) // B
+        # bucket the chunk count to the next power of two so ragged shot
+        # lengths reuse a handful of compiled programs instead of one each
+        n_buck = 1 << (n_chunks - 1).bit_length()
+        padded = np.zeros(n_buck * B, starts.dtype)
+        padded[:n] = starts
+        return jnp.asarray(padded.reshape(n_buck, B))
+
     def sweep(self, frames_u8: Optional[np.ndarray], starts: np.ndarray) -> np.ndarray:
         """Run all window starts; returns p_disrupt per window. Pass
         frames_u8=None to reuse the previously loaded shot."""
@@ -166,15 +187,25 @@ class VideoSweeper:
         n = len(starts)
         if n == 0:
             return np.zeros(0, np.float32)
-        B = self.batch_size
-        n_chunks = (n + B - 1) // B
-        # bucket the chunk count to the next power of two so ragged shot
-        # lengths reuse a handful of compiled programs instead of one each
-        n_buck = 1 << (n_chunks - 1).bit_length()
-        padded = np.zeros(n_buck * B, starts.dtype)
-        padded[:n] = starts
-        chunks = jnp.asarray(padded.reshape(n_buck, B))
-        probs = np.asarray(self._sweep_all(self._frames_dev, chunks))
+        probs = np.asarray(self._sweep_all(self._frames_dev, self._chunkify(starts)))
+        return probs.reshape(-1)[:n]
+
+    def upload_shot(self, frames_u8: np.ndarray):
+        """Center-crop on host and upload raw frames (no preprocessing) —
+        pair with sweep_device for the one-dispatch whole-shot path."""
+        H, W = frames_u8.shape[1], frames_u8.shape[2]
+        y0 = H // 2 - self.crop_size // 2
+        x0 = W // 2 - self.crop_size // 2
+        return jax.device_put(np.ascontiguousarray(
+            frames_u8[:, y0:y0 + self.crop_size, x0:x0 + self.crop_size, :]))
+
+    def sweep_device(self, frames_dev, starts: np.ndarray) -> np.ndarray:
+        """Whole-shot sweep INCLUDING per-shot preprocessing (embedding +
+        spatial table) in one dispatch, over device-resident cropped frames."""
+        n = len(starts)
+        if n == 0:
+            return np.zeros(0, np.float32)
+        probs = np.asarray(self._sweep_shot(frames_dev, self._chunkify(starts)))
         return probs.reshape(-1)[:n]
 
 
