@@ -135,6 +135,7 @@ class ViViTEncoder(nn.Module):
     in_channels: int = 3
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
+    remat: bool = False   # rematerialize transformer blocks (memory <-> FLOPs)
 
     def setup(self):
         n_patches = (self.image_size // self.patch_size) ** 2
@@ -147,10 +148,12 @@ class ViViTEncoder(nn.Module):
                                         (1, self.n_frames, n_patches + 1, self.dim),
                                         jnp.float32)
         self.embed_drop = nn.Dropout(self.embedd_dropout)
-        self.space_transformer = PreNormTransformer(
+        transformer_cls = (nn.remat(PreNormTransformer, static_argnums=(2,))
+                           if self.remat else PreNormTransformer)
+        self.space_transformer = transformer_cls(
             self.dim, self.depth, self.n_heads, self.d_head,
             self.dim * self.scale_dim, self.dropout, self.dtype, self.use_pallas)
-        self.temporal_transformer = PreNormTransformer(
+        self.temporal_transformer = transformer_cls(
             self.dim, self.depth, self.n_heads, self.d_head,
             self.dim * self.scale_dim, self.dropout, self.dtype, self.use_pallas)
 
@@ -243,13 +246,14 @@ class ViViT(nn.Module):
     alpha: float = 1.0
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
+    remat: bool = False
 
     def setup(self):
         self.encoder = ViViTEncoder(
             self.image_size, self.patch_size, self.n_frames, self.dim, self.depth,
             self.n_heads, self.d_head, self.scale_dim, self.dropout,
             self.embedd_dropout, self.pool, self.in_channels, self.dtype,
-            self.use_pallas,
+            self.use_pallas, self.remat,
         )
         self.mlp_fc1 = nn.Dense(self.dim // 2, dtype=jnp.float32)
         self.mlp_ln = nn.LayerNorm(dtype=jnp.float32)
