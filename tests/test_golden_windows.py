@@ -1,0 +1,162 @@
+"""Golden window/label parity: run the REFERENCE Dataset classes on the same
+synthetic shots and assert this framework's window generators produce
+identical indices and labels. This is the strongest check of the labeling
+core (SURVEY.md 'hard parts': off-by-one-sensitive semantics).
+
+cv2 is stubbed (index generation never decodes frames); frame folders are
+materialized as empty jpg files for the reference's glob-based path logic.
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pandas as pd
+import pytest
+
+REF = "/root/reference"
+
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
+                                reason="reference tree not mounted")
+
+
+@pytest.fixture(scope="module")
+def ref_dataset_mod():
+    for name, attrs in (("pytorch_model_summary", {"summary": lambda *a, **k: ""}),
+                        ("cv2", {"imread": None, "flip": None,
+                                 "GaussianBlur": None, "convertScaleAbs": None}),
+                        ):
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            for k, v in attrs.items():
+                setattr(mod, k, v)
+            sys.modules[name] = mod
+    if "glob2" not in sys.modules:
+        import glob as _glob
+        mod = types.ModuleType("glob2")
+        mod.glob = _glob.glob
+        sys.modules["glob2"] = mod
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    import importlib
+
+    return importlib.import_module("src.dataset")
+
+
+def _make_frame_folder(tmp_path, shot: int, n_frames: int) -> str:
+    d = tmp_path / str(shot)
+    d.mkdir()
+    for i in range(n_frames):
+        (d / f"{i:06d}.jpg").touch()
+    return str(d)
+
+
+class TestVideoWindowGolden:
+    def test_indices_and_labels_match(self, tmp_path, tiny_dataset, ref_dataset_mod):
+        from kstar_tpu.data import windows as W
+
+        shots, disrupt_df, _ = tiny_dataset
+        seq_len, dist = 21, 3
+        for s in shots[:3]:
+            folder = _make_frame_folder(tmp_path, s.shot, len(s.frames))
+            ref_ds = ref_dataset_mod.DatasetForVideo(
+                [folder], disrupt_df, augmentation=False,
+                seq_len=seq_len, dist=dist)
+
+            mine = W.video_windows(s.shot, s.frame_startup, s.frame_tipminf,
+                                   seq_len, dist)
+
+            # reference stores per-window path lists [idx+1 : idx+seq_len+1]
+            ref_starts = [int(os.path.basename(p[0]).split(".")[0]) - 1
+                          for p in ref_ds.video_file_path]
+            np.testing.assert_array_equal(mine.starts, ref_starts)
+            np.testing.assert_array_equal(mine.labels, ref_ds.labels)
+
+            # frame coverage identical
+            for k, paths in enumerate(ref_ds.video_file_path):
+                ref_frames = [int(os.path.basename(p).split(".")[0]) for p in paths]
+                got = W.video_frame_indices(mine.starts[k:k + 1], seq_len)[0]
+                np.testing.assert_array_equal(got, ref_frames)
+
+
+class TestTSWindowGolden:
+    def test_indices_and_labels_match(self, tiny_dataset, ref_dataset_mod):
+        from kstar_tpu.config import DT_0D, Schema
+        from kstar_tpu.data import windows as W
+
+        shots, disrupt_df, ts_df = tiny_dataset
+        cols = Schema.INPUT_FEATURES
+        seq_len, dist = 21, 3
+
+        ref_ds = ref_dataset_mod.DatasetFor0D(
+            ts_df.copy().reset_index(drop=True), disrupt_df, seq_len=seq_len,
+            cols=list(cols), dist=dist, dt=DT_0D, scaler=None)
+
+        # rebuild with my pure functions, per shot, translating positional
+        # starts to the global row labels the reference stores
+        all_starts, all_labels = [], []
+        for shot in ref_ds.shot_list:
+            d = ts_df[ts_df.shot == shot]
+            row = disrupt_df[disrupt_df.shot == shot].iloc[0]
+            w = W.ts_windows(shot, d.time.values, float(row.tftsrt),
+                             float(row.tipminf), seq_len, dist, DT_0D)
+            offset = d.index.values[0]
+            all_starts.extend((w.starts + offset).tolist())
+            all_labels.extend(w.labels.tolist())
+
+        np.testing.assert_array_equal(all_starts, ref_ds.indices)
+        np.testing.assert_array_equal(all_labels, ref_ds.labels)
+
+
+class TestMultimodalWindowGolden:
+    def test_indices_and_labels_match(self, tmp_path, tiny_dataset, ref_dataset_mod):
+        from kstar_tpu.config import DT_0D, Schema
+        from kstar_tpu.data import windows as W
+
+        shots, disrupt_df, ts_df = tiny_dataset
+        cols = Schema.INPUT_FEATURES
+        seq_len, dist, tau = 10, 3, 1
+
+        folders = [_make_frame_folder(tmp_path, s.shot, len(s.frames))
+                   for s in shots[:4]]
+
+        # the reference calls fillna(method='ffill'), removed in pandas 2.x —
+        # shim the old signature for the duration of the constructor
+        orig_fillna = pd.DataFrame.fillna
+
+        def fillna_compat(self, *a, **k):
+            if k.get("method") == "ffill":
+                return self.ffill()
+            return orig_fillna(self, *a, **k)
+
+        pd.DataFrame.fillna = fillna_compat
+        try:
+            ref_ds = ref_dataset_mod.MultiModalDataset(
+                folders, disrupt_df, ts_df.copy().reset_index(drop=True), list(cols),
+                augmentation=False, seq_len=seq_len, dist=dist, dt=DT_0D,
+                scaler=None, tau=tau)
+        finally:
+            pd.DataFrame.fillna = orig_fillna
+
+        mine_video, mine_ts, mine_labels = [], [], []
+        for s in shots[:4]:
+            if s.shot not in ref_ds.shot_list:
+                continue
+            d = ts_df[ts_df.shot == s.shot]
+            mw = W.multimodal_windows(
+                s.shot, d.time.values, float(s.tftsrt), float(s.tipminf),
+                s.frame_startup, s.frame_tipminf, len(s.frames),
+                seq_len, dist, DT_0D, tau)
+            if mw is None:
+                continue
+            offset = d.index.values[0]
+            mine_video.extend(mw.video_starts.tolist())
+            mine_ts.extend((mw.ts_starts + offset).tolist())
+            mine_labels.extend(mw.labels.tolist())
+
+        ref_video_starts = [int(os.path.basename(p[0]).split(".")[0]) - 1 - tau
+                            for p in ref_ds.video_file_path]
+        np.testing.assert_array_equal(mine_video, ref_video_starts)
+        np.testing.assert_array_equal(mine_ts, ref_ds.ts_data_indices)
+        np.testing.assert_array_equal(mine_labels, np.asarray(ref_ds.labels))
