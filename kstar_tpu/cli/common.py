@@ -40,6 +40,7 @@ def add_common_args(p: argparse.ArgumentParser, batch_size: int = 64) -> None:
                    choices=["SGD", "RMSProp", "Adam", "AdamW"])
     p.add_argument("--lr", type=float, default=2e-4)
     p.add_argument("--use_scheduler", action="store_true", default=True)
+    p.add_argument("--no_scheduler", dest="use_scheduler", action="store_false")
     p.add_argument("--step_size", type=int, default=4)
     p.add_argument("--gamma", type=float, default=0.95)
     p.add_argument("--early_stopping_patience", type=int, default=32)

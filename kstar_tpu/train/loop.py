@@ -278,6 +278,22 @@ def fit(
             hist.best_f1 = va_f1
             hist.best_epoch = epoch
             save_checkpoint(state, best_path, extra={"epoch": epoch, "valid_f1": va_f1})
+            if writer:
+                # evaluation figure on improvement (the reference emits one
+                # per epoch via evaluate_tensorboard, src/train.py:242-245)
+                try:
+                    from ..eval.evaluate import evaluate_probs, evaluation_figure
+                    _, _, _, (probs, labels) = run_eval_epoch(
+                        eval_step, state, valid_ds, train_cfg.batch_size,
+                        weight, m_list, gb_w,
+                        put=put_eval if put_eval is not None else put,
+                        collect_probs=True)
+                    fig = evaluation_figure(evaluate_probs(probs, labels))
+                    writer.figure("eval/valid", fig, epoch)
+                    import matplotlib.pyplot as plt
+                    plt.close(fig)
+                except Exception:
+                    pass
         if stopper and stopper.should_stop:
             print(f"early stopping at epoch {epoch+1}")
             break
