@@ -7,3 +7,5 @@ from .metrics import (accuracy, classification_report, confusion_matrix,
                       softmax_np, threshold_predict)
 from .state import (TrainState, create_train_state, load_checkpoint,
                     load_params, make_optimizer, save_checkpoint)
+from . import cca, gb, hpo, mixup
+from .gb import fit_gb, gb_estimate
