@@ -380,20 +380,48 @@ def predict_multimodal_shot(
     t_offsets = jnp.asarray(-tau * np.arange(seq_len - 1, -1, -1))
     mean = jnp.asarray(PIXEL_MEAN_BGR, compute_dtype)
 
-    def chunk_probs(frames, ts_data, v_starts, t_starts):
-        vi = jnp.clip(v_starts[:, None] + v_offsets[None, :], 0, frames.shape[0] - 1)
-        win = frames[vi]
-        x = win.astype(compute_dtype) - mean
-        ti = jnp.clip(t_starts[:, None] + t_offsets[None, :], 0, ts_data.shape[0] - 1)
-        x_ts = ts_data[ti]
-        out = model.apply({"params": params, "batch_stats": batch_stats},
-                          x, x_ts, train=False)
-        logits = out[0] if isinstance(out, tuple) else out
-        return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[:, 0]
+    variables = {"params": params, "batch_stats": batch_stats}
+    use_tokens = hasattr(model, "spatial_cls")
+
+    if use_tokens:
+        # fusion fast path: per-shot spatial-cls table for the video branch
+        # (see VideoSweeper); per window only the temporal transformer + 0D
+        # encoder + fusion head run
+        def preprocess(frames):
+            x = frames.astype(compute_dtype) - mean
+            tokens = model.apply(variables, x, method="embed_frames")
+
+            def per_offset(_, off):
+                return None, model.apply(variables, tokens, off, method="spatial_cls")
+
+            _, table = jax.lax.scan(per_offset, None, jnp.arange(seq_len))
+            return table                                           # (L, T, D)
+
+        def chunk_probs(table, ts_data, v_starts, t_starts):
+            vi = jnp.clip(v_starts[:, None] + v_offsets[None, :], 0, table.shape[1] - 1)
+            win_cls = table[jnp.arange(seq_len)[None, :], vi]      # (B, L, D)
+            ti = jnp.clip(t_starts[:, None] + t_offsets[None, :], 0, ts_data.shape[0] - 1)
+            logits = model.apply(variables, win_cls, ts_data[ti],
+                                 method="forward_spatial_cls")
+            return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[:, 0]
+    else:
+        def preprocess(frames):
+            return frames
+
+        def chunk_probs(frames, ts_data, v_starts, t_starts):
+            vi = jnp.clip(v_starts[:, None] + v_offsets[None, :], 0, frames.shape[0] - 1)
+            win = frames[vi]
+            x = win.astype(compute_dtype) - mean
+            ti = jnp.clip(t_starts[:, None] + t_offsets[None, :], 0, ts_data.shape[0] - 1)
+            x_ts = ts_data[ti]
+            out = model.apply(variables, x, x_ts, train=False)
+            logits = out[0] if isinstance(out, tuple) else out
+            return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[:, 0]
 
     def sweep_all(frames, ts_data, v_chunks, t_chunks):
+        data = preprocess(frames)
         def body(_, vt):
-            return None, chunk_probs(frames, ts_data, vt[0], vt[1])
+            return None, chunk_probs(data, ts_data, vt[0], vt[1])
         _, p = jax.lax.scan(body, None, (v_chunks, t_chunks))
         return p
 

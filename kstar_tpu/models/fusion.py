@@ -70,6 +70,18 @@ class MultiModalConcat(nn.Module):
         h_ts = self.encoder_0d(x_0d, False)
         return self._fuse(h_vis, h_ts), h_vis, h_ts
 
+    # -- sweep fast path (see ViViTEncoder.spatial_cls) ----------------------
+    def embed_frames(self, x: jnp.ndarray) -> jnp.ndarray:
+        return self.encoder_video.embed_frames(x)
+
+    def spatial_cls(self, tokens: jnp.ndarray, offset: jnp.ndarray) -> jnp.ndarray:
+        return self.encoder_video.spatial_cls(tokens, offset)
+
+    def forward_spatial_cls(self, win_cls: jnp.ndarray, x_0d: jnp.ndarray):
+        h_vis = self.encoder_video.encode_spatial_cls(win_cls)
+        h_ts = self.encoder_0d(x_0d, False)
+        return self._classify(self._fuse(h_vis, h_ts))
+
 
 class MultiModalGB(nn.Module):
     """Concat fusion with unimodal heads for Gradient Blending."""
@@ -112,6 +124,18 @@ class MultiModalGB(nn.Module):
         h_ts = self.ts_model.encode(x_0d)
         h = jnp.concatenate([h_vis, h_ts], axis=-1)
         return nn.relu(self.connector(h)), h_vis, h_ts
+
+    # -- sweep fast path (fusion logits only; see ViViTEncoder.spatial_cls) --
+    def embed_frames(self, x: jnp.ndarray) -> jnp.ndarray:
+        return self.vis_model.embed_frames(x)
+
+    def spatial_cls(self, tokens: jnp.ndarray, offset: jnp.ndarray) -> jnp.ndarray:
+        return self.vis_model.spatial_cls(tokens, offset)
+
+    def forward_spatial_cls(self, win_cls: jnp.ndarray, x_0d: jnp.ndarray):
+        h_vis = self.vis_model.encoder.encode_spatial_cls(win_cls)
+        h_ts = self.ts_model.encoder(x_0d, False)
+        return self._fusion_logits(h_vis, h_ts)
 
 
 def _outer_fusion(h_vis: jnp.ndarray, h_ts: jnp.ndarray) -> jnp.ndarray:
@@ -159,6 +183,18 @@ class TFN(nn.Module):
         fused = _outer_fusion(h_vis, h_ts)
         return nn.relu(self.connector(fused)), h_vis, h_ts
 
+    # -- sweep fast path (see ViViTEncoder.spatial_cls) ----------------------
+    def embed_frames(self, x: jnp.ndarray) -> jnp.ndarray:
+        return self.encoder_video.embed_frames(x)
+
+    def spatial_cls(self, tokens: jnp.ndarray, offset: jnp.ndarray) -> jnp.ndarray:
+        return self.encoder_video.spatial_cls(tokens, offset)
+
+    def forward_spatial_cls(self, win_cls: jnp.ndarray, x_0d: jnp.ndarray):
+        h_vis = self.encoder_video.encode_spatial_cls(win_cls)
+        h_ts = self.encoder_0d(x_0d, False)
+        return self._head(_outer_fusion(h_vis, h_ts))
+
 
 class TFNGB(nn.Module):
     """TFN with unimodal heads for Gradient Blending (reference TFN_GB :246-331):
@@ -202,3 +238,15 @@ class TFNGB(nn.Module):
         h_vis = self.vis_model.encode(x_video)
         h_ts = self.ts_model.encode(x_0d)
         return _outer_fusion(h_vis, h_ts), h_vis, h_ts
+
+    # -- sweep fast path (fusion logits only; see ViViTEncoder.spatial_cls) --
+    def embed_frames(self, x: jnp.ndarray) -> jnp.ndarray:
+        return self.vis_model.embed_frames(x)
+
+    def spatial_cls(self, tokens: jnp.ndarray, offset: jnp.ndarray) -> jnp.ndarray:
+        return self.vis_model.spatial_cls(tokens, offset)
+
+    def forward_spatial_cls(self, win_cls: jnp.ndarray, x_0d: jnp.ndarray):
+        h_vis = self.vis_model.encoder.encode_spatial_cls(win_cls)
+        h_ts = self.ts_model.encoder(x_0d, False)
+        return self._head(_outer_fusion(h_vis, h_ts), train=False)
