@@ -96,9 +96,31 @@ def load_data(args, need_video: bool = False, dt: float = 4.0 / 210.0):
         return disrupt_df, ts_df, store
 
     root = args.data_root
-    disrupt_df = pd.read_csv(os.path.join(root, "shot_list.csv"))
+
+    def read_csv_compat(path):
+        """Read either this framework's csvs or the reference's artifacts
+        (KSTAR shot list is euc-kr encoded, reference utility.py:910)."""
+        try:
+            return pd.read_csv(path)
+        except UnicodeDecodeError:
+            return pd.read_csv(path, encoding="euc-kr")
+
+    # accept the reference's file names as drop-in fallbacks
+    shot_list_path = os.path.join(root, "shot_list.csv")
+    if not os.path.exists(shot_list_path):
+        alt = os.path.join(root, "KSTAR_Disruption_Shot_List_extend.csv")
+        shot_list_path = alt if os.path.exists(alt) else shot_list_path
+    disrupt_df = read_csv_compat(shot_list_path)
+
     ts_path = os.path.join(root, "ts_data.csv")
-    ts_df = pd.read_csv(ts_path) if os.path.exists(ts_path) else None
+    if not os.path.exists(ts_path):
+        for alt in ("KSTAR_Disruption_ts_data_extend.csv",
+                    "KSTAR_Disruption_ts_data_5ms.csv"):
+            cand = os.path.join(root, alt)
+            if os.path.exists(cand):
+                ts_path = cand
+                break
+    ts_df = read_csv_compat(ts_path) if os.path.exists(ts_path) else None
     store = None
     if need_video:
         vdir = os.path.join(root, "video")
