@@ -106,6 +106,8 @@ def main(argv=None):
     put_train = DevicePreprocessor(crop, AugmentConfig(), train=True,
                                    out_dtype=dtype, seed=args.random_seed)
     put_eval = DevicePreprocessor(crop, AugmentConfig(), train=False, out_dtype=dtype)
+    # (GB stream orchestration uses multiple step fns; keeping preprocessing
+    # as its own dispatch here — the vision CLI demonstrates the fused path)
 
     b0, _ = put_eval(train_ds.batch(np.arange(min(args.batch_size, len(train_ds)))))
     steps = max(len(train_ds) // args.batch_size, 1)

@@ -121,8 +121,19 @@ def main(argv=None):
         from ..config import MeshConfig
         from ..parallel import make_mesh
         mesh = make_mesh(MeshConfig(data=args.dp, model=1), _jax.devices()[: args.dp])
-    put_train = DevicePreprocessor(crop, aug, train=True, out_dtype=dtype,
-                                   seed=args.random_seed, mesh=mesh)
+
+    # preprocessing (crop/augment/normalize) fuses INTO the train/eval step
+    # (one dispatch per step); the put hook only ships raw uint8 bytes
+    from ..data.augment import make_pre_fns
+    pre_train, pre_eval_fn = make_pre_fns(crop, aug, out_dtype=dtype)
+
+    if mesh is not None:
+        from ..parallel import put_batch
+        put_raw = lambda bl: (put_batch(mesh, bl[0]), put_batch(mesh, bl[1]))
+    else:
+        put_raw = lambda bl: (jnp.asarray(bl[0]), jnp.asarray(bl[1]))
+
+    # device-side preprocessor retained for state init / standalone eval
     put_eval = DevicePreprocessor(crop, aug, train=False, out_dtype=dtype, mesh=mesh)
 
     x0, _ = put_eval(train_ds.batch(np.arange(min(args.batch_size, len(train_ds)))))
@@ -145,7 +156,8 @@ def main(argv=None):
 
     state, hist = fit(model, state, train_ds, valid_ds, train_cfg, loss_cfg,
                       tag=tag, sampler=sampler, writer=writer,
-                      put=put_train, put_eval=put_eval)
+                      put=put_raw, put_eval=put_raw,
+                      pre_fn=pre_train, pre_fn_eval=pre_eval_fn)
     plot_learning_curve(hist, os.path.join(args.save_dir, f"{tag}_learning_curve.png"))
 
     # evaluate: eval-mode preprocessing

@@ -118,16 +118,17 @@ def _augment_clip(key: jax.Array, clip: jnp.ndarray, cfg: AugmentConfig) -> jnp.
     return clip
 
 
-@partial(jax.jit, static_argnames=("crop_size", "train", "cfg", "out_dtype"))
-def preprocess_batch(
-    key: jax.Array,
+def preprocess_pure(
+    key,
     video_u8: jnp.ndarray,       # (B, T, H, W, C) uint8
     crop_size: int,
     cfg: AugmentConfig = AugmentConfig(),
     train: bool = True,
     out_dtype: jnp.dtype = jnp.float32,
 ) -> jnp.ndarray:
-    """Crop -> (train-only) augment -> normalize -> cast, batched.
+    """Crop -> (train-only) augment -> normalize -> cast, batched; pure
+    (traceable inside a larger jitted program, e.g. fused into the train
+    step via make_train_step(pre_fn=...)).
 
     Output: (B, T, crop, crop, C) in ``out_dtype`` with the per-channel BGR
     mean subtracted (reference normalize, src/dataset.py:201-205)."""
@@ -138,3 +139,29 @@ def preprocess_batch(
     mean = jnp.asarray(PIXEL_MEAN_BGR, jnp.float32)
     x = x - mean
     return x.astype(out_dtype)
+
+
+preprocess_batch = partial(jax.jit, static_argnames=("crop_size", "train", "cfg", "out_dtype"))(preprocess_pure)
+
+
+def make_pre_fns(crop_size: int, cfg: AugmentConfig = AugmentConfig(),
+                 out_dtype: jnp.dtype = jnp.bfloat16):
+    """(pre_train, pre_eval) closures for fusing preprocessing into the
+    train/eval steps (train/loop.py pre_fn): each takes (key, batch) where
+    batch is a raw uint8 video array or a multimodal {'video','0D'} dict."""
+
+    def _run(key, batch, train: bool):
+        if isinstance(batch, dict):
+            out = dict(batch)
+            out["video"] = preprocess_pure(key, batch["video"], crop_size, cfg,
+                                           train, out_dtype)
+            return out
+        return preprocess_pure(key, batch, crop_size, cfg, train, out_dtype)
+
+    def pre_train(key, batch):
+        return _run(key, batch, True)
+
+    def pre_eval(key, batch):
+        return _run(key, batch, False)
+
+    return pre_train, pre_eval

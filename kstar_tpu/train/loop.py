@@ -49,10 +49,14 @@ def _model_outputs(model, params, batch_stats, batch, train: bool, rngs, model_t
 
 
 def make_train_step(model, loss_cfg: LossConfig, model_type: str = "single",
-                    loss_scale: float = 1.0) -> Callable:
+                    loss_scale: float = 1.0, pre_fn: Optional[Callable] = None) -> Callable:
     """Build the jitted train step.
 
     step(state, batch, labels, weight, m_list, gb_w) -> (state, loss, preds)
+
+    pre_fn(key, batch) — optional in-graph preprocessing (crop / augment /
+    normalize of raw uint8 video), fused into the same dispatch as the
+    forward/backward instead of costing a separate device round-trip.
     """
     loss_type = loss_cfg.loss_type
     gamma = loss_cfg.focal_gamma
@@ -60,8 +64,10 @@ def make_train_step(model, loss_cfg: LossConfig, model_type: str = "single",
 
     def step(state: TrainState, batch, labels, weight, m_list, gb_w):
         rng = jax.random.fold_in(state.rng, state.step)
-        noise_rng, drop_rng = jax.random.split(rng)
+        noise_rng, drop_rng, pre_rng = jax.random.split(rng, 3)
         rngs = {"noise": noise_rng, "dropout": drop_rng}
+        if pre_fn is not None:
+            batch = pre_fn(pre_rng, batch)
 
         def loss_fn(params):
             out, new_stats = _model_outputs(model, params, state.batch_stats,
@@ -100,7 +106,7 @@ def make_train_step(model, loss_cfg: LossConfig, model_type: str = "single",
 
 
 def make_eval_step(model, loss_cfg: LossConfig, model_type: str = "single",
-                   loss_scale: float = 1.0) -> Callable:
+                   loss_scale: float = 1.0, pre_fn: Optional[Callable] = None) -> Callable:
     """eval_step(state, batch, labels, weight, m_list, gb_w, mask)
     -> (loss, probs, preds); probs = softmax(logits)."""
     loss_type = loss_cfg.loss_type
@@ -108,6 +114,8 @@ def make_eval_step(model, loss_cfg: LossConfig, model_type: str = "single",
     s = loss_cfg.ldam_s
 
     def step(state: TrainState, batch, labels, weight, m_list, gb_w, mask):
+        if pre_fn is not None:
+            batch = pre_fn(None, batch)
         out, _ = _model_outputs(model, state.params, state.batch_stats,
                                 batch, False, None, model_type)
         if model_type == "multi-GB":
@@ -231,13 +239,15 @@ def fit(
     num_epoch: Optional[int] = None,
     put=None,
     put_eval=None,
+    pre_fn=None,
+    pre_fn_eval=None,
 ) -> Tuple[TrainState, History]:
     """Epoch driver covering the reference's ``train`` and ``train_DRW``
     (src/train.py:147-274, :277-422): per-epoch train/valid, metric logging,
     last/best checkpointing on valid macro-F1, early stopping, optional DRW."""
     num_epoch = num_epoch or train_cfg.num_epoch
-    train_step = make_train_step(model, loss_cfg, model_type)
-    eval_step = make_eval_step(model, loss_cfg, model_type)
+    train_step = make_train_step(model, loss_cfg, model_type, pre_fn=pre_fn)
+    eval_step = make_eval_step(model, loss_cfg, model_type, pre_fn=pre_fn_eval)
 
     cls_counts = train_ds.class_counts()
     gb_w = jnp.asarray(gb_weights if gb_weights is not None else np.zeros(3, np.float32))
