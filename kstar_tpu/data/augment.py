@@ -57,16 +57,22 @@ def _gaussian_kernel1d(ksize: int) -> np.ndarray:
 
 
 def _blur_clip(clip: jnp.ndarray, ksize: int) -> jnp.ndarray:
-    """Separable Gaussian blur over (T, H, W, C)."""
-    k = jnp.asarray(_gaussian_kernel1d(ksize))
-    T, H, W, C = clip.shape
-    x = clip.reshape(T, H, W * C)
-    x = jax.vmap(lambda img: jnp.apply_along_axis(
-        lambda col: jnp.convolve(col, k, mode="same"), 0, img))(x)
-    x = x.reshape(T, H, W, C).transpose(0, 2, 1, 3).reshape(T, W, H * C)
-    x = jax.vmap(lambda img: jnp.apply_along_axis(
-        lambda col: jnp.convolve(col, k, mode="same"), 0, img))(x)
-    return x.reshape(T, W, H, C).transpose(0, 2, 1, 3)
+    """Separable Gaussian blur over (T, H, W, C) as two depthwise convs
+    (maps onto the conv units instead of per-column convolve loops)."""
+    k = jnp.asarray(_gaussian_kernel1d(ksize), clip.dtype)
+    C = clip.shape[-1]
+    dn = jax.lax.conv_dimension_numbers(clip.shape, (ksize, 1, 1, C),
+                                        ("NHWC", "HWIO", "NHWC"))
+    pad = ksize // 2
+    kern_h = jnp.tile(k[:, None, None, None], (1, 1, 1, C))
+    kern_w = jnp.tile(k[None, :, None, None], (1, 1, 1, C))
+    x = jax.lax.conv_general_dilated(clip, kern_h, (1, 1),
+                                     [(pad, pad), (0, 0)], dimension_numbers=dn,
+                                     feature_group_count=C)
+    x = jax.lax.conv_general_dilated(x, kern_w, (1, 1),
+                                     [(0, 0), (pad, pad)], dimension_numbers=dn,
+                                     feature_group_count=C)
+    return x
 
 
 def _augment_clip(key: jax.Array, clip: jnp.ndarray, cfg: AugmentConfig) -> jnp.ndarray:
