@@ -48,6 +48,15 @@ def epoch_batches(
     else:
         order = np.arange(n)
 
+    if len(order) == 0:
+        return
+    if len(order) < batch_size:
+        # dataset smaller than one batch: never yield nothing — emit a single
+        # wraparound-padded batch so training still takes steps
+        reps = -(-batch_size // len(order))
+        yield np.tile(order, reps)[:batch_size]
+        return
+
     for i in range(0, len(order) - (batch_size - 1 if drop_last else 0), batch_size):
         chunk = order[i : i + batch_size]
         if len(chunk) < batch_size:

@@ -95,3 +95,10 @@ def test_split_shots_deterministic():
     train, valid, test = a
     assert not (set(train) & set(test)) and not (set(train) & set(valid))
     assert len(train) + len(valid) + len(test) == 100
+
+
+def test_epoch_batches_small_dataset_still_yields():
+    from kstar_tpu.data import epoch_batches
+    batches = list(epoch_batches(10, 64, np.random.default_rng(0)))
+    assert len(batches) == 1 and len(batches[0]) == 64
+    assert set(batches[0]) == set(range(10))
