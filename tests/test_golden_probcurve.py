@@ -1,0 +1,180 @@
+"""Golden alignment test for the 0D continuous probability curve: run the
+REFERENCE generate_prob_curve_from_0D with a constant-logit torch model and
+compare time axis + probability array against predict_0d_shot with an
+equivalent constant-logit flax model. With constant model output, any
+difference can only come from window counting, padding, startup
+suppression, re-interpolation, or smoothing — exactly the alignment
+semantics under test (reference src/utils/utility.py:979-1066)."""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pandas as pd
+import pytest
+
+REF = "/root/reference"
+
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
+                                reason="reference tree not mounted")
+
+LOGIT_DISRUPT = 0.7
+LOGIT_NORMAL = -0.3
+
+
+@pytest.fixture(scope="module")
+def ref_utility():
+    stubs = {
+        "pytorch_model_summary": {"summary": lambda *a, **k: ""},
+        "cv2": {"imread": None, "flip": None, "GaussianBlur": None,
+                "convertScaleAbs": None, "VideoCapture": None},
+    }
+    for name, attrs in stubs.items():
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            for k, v in attrs.items():
+                setattr(mod, k, v)
+            sys.modules[name] = mod
+    if "glob2" not in sys.modules:
+        import glob as _glob
+        mod = types.ModuleType("glob2")
+        mod.glob = _glob.glob
+        sys.modules["glob2"] = mod
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tr = types.ModuleType("torchvision.transforms")
+        tv.transforms = tr
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tr
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    import importlib
+
+    return importlib.import_module("src.utils.utility")
+
+
+class TestGolden0DProbCurve:
+    def test_alignment_matches_reference(self, ref_utility, tiny_dataset, tmp_path):
+        import torch
+
+        import jax
+        import jax.numpy as jnp
+        from flax import linen as nn
+
+        from kstar_tpu.config import DT_0D, Schema
+        from kstar_tpu.data.splits import Scaler
+        from kstar_tpu.infer import predict_0d_shot
+
+        shots, disrupt_df, ts_df = tiny_dataset
+        cols = Schema.INPUT_FEATURES
+        shot = shots[0]
+        seq_len, dist = 21, 3
+
+        # --- reference path ---------------------------------------------------
+        class ConstTorch(torch.nn.Module):
+            def forward(self, x):
+                B = x.shape[0]
+                out = torch.empty((B, 2))
+                out[:, 0] = LOGIT_DISRUPT
+                out[:, 1] = LOGIT_NORMAL
+                return out
+
+        shot_list_path = tmp_path / "shotlist.csv"
+        ts_path = tmp_path / "ts.csv"
+        disrupt_df.to_csv(shot_list_path, index=False, encoding="euc-kr")
+        ts_df.to_csv(ts_path, index=False)
+
+        t_ref, p_ref = ref_utility.generate_prob_curve_from_0D(
+            ConstTorch(), device="cpu",
+            save_dir=str(tmp_path / "ref.png"),
+            ts_data_dir=str(ts_path), ts_cols=list(cols),
+            shot_list_dir=str(shot_list_path), shot_num=shot.shot,
+            seq_len=seq_len, dist=dist, dt=DT_0D, scaler=None)
+
+        # --- kstar_tpu path ---------------------------------------------------
+        class ConstFlax(nn.Module):
+            @nn.compact
+            def __call__(self, x, train=False):
+                B = x.shape[0]
+                bias = self.param("b", nn.initializers.zeros, (2,))
+                base = jnp.asarray([LOGIT_DISRUPT, LOGIT_NORMAL])
+                return jnp.broadcast_to(base + bias, (B, 2))
+
+        model = ConstFlax()
+        v = model.init(jax.random.key(0), jnp.zeros((1, seq_len, len(cols))))
+        d = ts_df[ts_df.shot == shot.shot]
+        t_mine, p_mine = predict_0d_shot(
+            model, v["params"], {}, d[cols].to_numpy(np.float32),
+            d["time"].to_numpy(), Scaler("Robust"),
+            seq_len=seq_len, dist=dist, dt=DT_0D)
+
+        assert len(p_mine) == len(p_ref)
+        np.testing.assert_allclose(t_mine, t_ref, atol=1e-9)
+        np.testing.assert_allclose(p_mine, np.asarray(p_ref), atol=1e-5)
+
+
+class TestGoldenVideoProbCurve:
+    def test_alignment_matches_reference(self, ref_utility, tiny_dataset, tmp_path):
+        import torch
+
+        import jax
+        import jax.numpy as jnp
+        from flax import linen as nn
+
+        from kstar_tpu.config import Schema
+        from kstar_tpu.infer import predict_video_shot
+
+        shots, disrupt_df, ts_df = tiny_dataset
+        cols = Schema.INPUT_FEATURES
+        shot = shots[1]
+        seq_len, dist = 21, 3
+        n_frames = len(shot.frames)
+
+        # frame folder of empty jpgs; stub cv2.imread to constant frames
+        folder = tmp_path / str(shot.shot)
+        folder.mkdir()
+        for i in range(n_frames):
+            (folder / f"{i:06d}.jpg").touch()
+        sys.modules["cv2"].imread = lambda p: np.zeros((256, 256, 3), np.uint8)
+
+        class ConstTorch(torch.nn.Module):
+            def forward(self, x):
+                B = x.shape[0]
+                out = torch.empty((B, 2))
+                out[:, 0] = LOGIT_DISRUPT
+                out[:, 1] = LOGIT_NORMAL
+                return out
+
+        shot_list_path = tmp_path / "shotlist.csv"
+        ts_path = tmp_path / "ts.csv"
+        disrupt_df.to_csv(shot_list_path, index=False, encoding="euc-kr")
+        ts_df.to_csv(ts_path, index=False)
+
+        t_ref, p_ref = ref_utility.generate_prob_curve(
+            str(folder), ConstTorch(), device="cpu",
+            save_dir=str(tmp_path / "ref.png"),
+            shot_list_dir=str(shot_list_path), ts_data_dir=str(ts_path),
+            ts_cols=list(cols), shot_num=shot.shot,
+            clip_len=seq_len, dist_frame=dist)
+
+        class ConstFlax(nn.Module):
+            @nn.compact
+            def __call__(self, x, train=False):
+                B = x.shape[0]
+                bias = self.param("b", nn.initializers.zeros, (2,))
+                base = jnp.asarray([LOGIT_DISRUPT, LOGIT_NORMAL])
+                return jnp.broadcast_to(base + bias, (B, 2))
+
+        model = ConstFlax()
+        v = model.init(jax.random.key(0), jnp.zeros((1, seq_len, 128, 128, 3)))
+        frames = np.zeros((n_frames, 256, 256, 3), np.uint8)
+        t_mine, p_mine = predict_video_shot(
+            model, v["params"], {}, frames,
+            int(shot.frame_startup), int(shot.frame_cutoff),
+            seq_len=seq_len, dist=dist, crop_size=128, batch_size=64,
+            compute_dtype=jnp.float32)
+
+        assert len(p_mine) == len(p_ref)
+        np.testing.assert_allclose(t_mine, t_ref, atol=1e-9)
+        np.testing.assert_allclose(p_mine, np.asarray(p_ref), atol=1e-5)
