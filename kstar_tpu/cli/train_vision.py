@@ -177,6 +177,24 @@ def main(argv=None):
     print(f"test macro-F1 {results['macro_f1']:.4f} | ROC-AUC {results['roc_auc']:.4f}")
 
     if not args.skip_extras:
+        # shot-level alarm scoring over the test shots
+        try:
+            import json as _json
+
+            from ..eval import evaluate_video_alarms
+            res = evaluate_video_alarms(
+                model, state.params, state.batch_stats, store, disrupt_df,
+                test_s, seq_len=seq_len, dist=args.dist, crop_size=crop,
+                batch_size=args.batch_size, threshold=args.threshold,
+                compute_dtype=dtype)
+            print(f"alarm summary: {res['summary']}")
+            with open(os.path.join(args.save_dir, f"{tag}_alarms.json"), "w") as f:
+                _json.dump(res["summary"], f, indent=2)
+            res["per_shot"].to_csv(
+                os.path.join(args.save_dir, f"{tag}_alarms.csv"), index=False)
+        except Exception as e:
+            print(f"alarm evaluation skipped: {e}")
+
         from ..infer import predict_video_shot
         from ..viz import plot_shot_probability_zoom
 
