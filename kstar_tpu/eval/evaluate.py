@@ -54,8 +54,11 @@ def evaluate_probs(
 
 def evaluate(model, state, dataset, loss_cfg, batch_size: int = 128,
              threshold: float = 0.5, model_type: str = "single",
-             save_txt: Optional[str] = None, save_fig: Optional[str] = None) -> Dict:
-    """Full test loop (reference evaluate, src/evaluate.py:11-137)."""
+             save_txt: Optional[str] = None, save_fig: Optional[str] = None,
+             put=None) -> Dict:
+    """Full test loop (reference evaluate, src/evaluate.py:11-137). ``put``
+    optionally preprocesses/uploads raw batches (e.g. DevicePreprocessor for
+    uint8 video)."""
     import jax.numpy as jnp
 
     from ..train.loop import make_eval_step, run_eval_epoch
@@ -68,7 +71,8 @@ def evaluate(model, state, dataset, loss_cfg, batch_size: int = 128,
     gb = jnp.zeros(3)
 
     loss, acc, f1_argmax, (probs, labels) = run_eval_epoch(
-        eval_step, state, dataset, batch_size, w, m, gb, collect_probs=True)
+        eval_step, state, dataset, batch_size, w, m, gb, put=put,
+        collect_probs=True)
 
     results = evaluate_probs(probs, labels, threshold)
     results["test_loss"] = loss
@@ -148,7 +152,8 @@ def evaluation_figure(results: Dict):
 
 def evaluate_detail(model, state, datasets: Dict[str, Tuple], loss_cfg,
                     batch_size: int = 128, threshold: float = 0.5,
-                    model_type: str = "single", save_csv: Optional[str] = None):
+                    model_type: str = "single", save_csv: Optional[str] = None,
+                    put=None):
     """Per-sample dump over named splits with shot numbers -> rows
     (task, label, shot, pred, tag) for per-shot error analysis
     (reference evaluate_detail, src/evaluate.py:242-350)."""
@@ -156,7 +161,8 @@ def evaluate_detail(model, state, datasets: Dict[str, Tuple], loss_cfg,
 
     rows = []
     for task, ds in datasets.items():
-        res = evaluate(model, state, ds, loss_cfg, batch_size, threshold, model_type)
+        res = evaluate(model, state, ds, loss_cfg, batch_size, threshold,
+                       model_type, put=put)
         shots = getattr(ds, "shot_ids", np.zeros(len(ds), np.int64))
         for label, shot, pred in zip(res["labels"], shots, res["preds"]):
             tag = "correct" if label == pred else ("missing" if label == 0 else "false alarm")

@@ -4,8 +4,17 @@ The reference runs one window per forward with batch size 1 in a Python loop
 (reference src/utils/utility.py:936-949, visualize_application.py:248-262).
 Here the whole shot's frames are uploaded to HBM once, windows are gathered
 *on device* with a (B, L) index matrix, preprocessing (crop + normalize +
-bf16 cast) fuses into the forward, and the sweep runs in fixed-size batches
-so XLA compiles exactly one program per shape.
+bf16 cast) fuses into the forward, and the sweep runs as a single lax.scan
+dispatch over fixed-size chunks (bucketed so ragged shot lengths reuse a
+handful of compiled programs).
+
+ViViT-family models additionally get two exact algebraic fast paths
+(see models/vivit.py): per-frame patch embeddings are computed once per
+shot, and the spatial transformer — which depends only on (frame,
+in-window offset) with just seq_len distinct offsets under a stride-1
+sweep — is precomputed as an (offset x frame) cls table, leaving only the
+tiny temporal transformer per window. Both verified bit-equal to the
+direct per-window forward.
 
 Output alignment, startup suppression, interpolation, and smoothing follow
 the reference exactly:
