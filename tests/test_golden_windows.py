@@ -53,11 +53,12 @@ def _make_frame_folder(tmp_path, shot: int, n_frames: int) -> str:
 
 
 class TestVideoWindowGolden:
-    def test_indices_and_labels_match(self, tmp_path, tiny_dataset, ref_dataset_mod):
+    @pytest.mark.parametrize("seq_len,dist", [(21, 3), (21, 1), (21, 20), (84, 3)])
+    def test_indices_and_labels_match(self, tmp_path, tiny_dataset,
+                                      ref_dataset_mod, seq_len, dist):
         from kstar_tpu.data import windows as W
 
         shots, disrupt_df, _ = tiny_dataset
-        seq_len, dist = 21, 3
         for s in shots[:3]:
             folder = _make_frame_folder(tmp_path, s.shot, len(s.frames))
             ref_ds = ref_dataset_mod.DatasetForVideo(
@@ -81,13 +82,14 @@ class TestVideoWindowGolden:
 
 
 class TestTSWindowGolden:
-    def test_indices_and_labels_match(self, tiny_dataset, ref_dataset_mod):
+    @pytest.mark.parametrize("seq_len,dist", [(21, 3), (21, 1), (21, 20), (84, 3)])
+    def test_indices_and_labels_match(self, tiny_dataset, ref_dataset_mod,
+                                      seq_len, dist):
         from kstar_tpu.config import DT_0D, Schema
         from kstar_tpu.data import windows as W
 
         shots, disrupt_df, ts_df = tiny_dataset
         cols = Schema.INPUT_FEATURES
-        seq_len, dist = 21, 3
 
         ref_ds = ref_dataset_mod.DatasetFor0D(
             ts_df.copy().reset_index(drop=True), disrupt_df, seq_len=seq_len,
@@ -110,13 +112,15 @@ class TestTSWindowGolden:
 
 
 class TestMultimodalWindowGolden:
-    def test_indices_and_labels_match(self, tmp_path, tiny_dataset, ref_dataset_mod):
+    @pytest.mark.parametrize("seq_len,dist,tau", [(10, 3, 1), (10, 1, 1),
+                                                  (10, 3, 2), (21, 3, 4)])
+    def test_indices_and_labels_match(self, tmp_path, tiny_dataset,
+                                      ref_dataset_mod, seq_len, dist, tau):
         from kstar_tpu.config import DT_0D, Schema
         from kstar_tpu.data import windows as W
 
         shots, disrupt_df, ts_df = tiny_dataset
         cols = Schema.INPUT_FEATURES
-        seq_len, dist, tau = 10, 3, 1
 
         folders = [_make_frame_folder(tmp_path, s.shot, len(s.frames))
                    for s in shots[:4]]
