@@ -34,14 +34,13 @@ the reference exactly:
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
-from typing import Callable, Dict, List, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import FPS, AugmentConfig, PIXEL_MEAN_BGR
+from ..config import FPS, PIXEL_MEAN_BGR
 
 
 def moving_average(x: np.ndarray, k: int, method: str = "backward") -> np.ndarray:
