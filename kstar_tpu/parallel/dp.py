@@ -31,7 +31,7 @@ from jax.sharding import Mesh
 from ..config import LossConfig
 from ..train.loop import make_eval_step, make_train_step
 from ..train.state import TrainState
-from .mesh import batch_sharding, put_batch, put_replicated
+from .mesh import put_batch, put_replicated
 
 
 def make_dp_step_fns(model, loss_cfg: LossConfig, mesh: Mesh,

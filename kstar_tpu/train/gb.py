@@ -24,11 +24,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import LossConfig, TrainConfig
-from ..losses import classification_loss, estimate_gb_weights, ldam_margins
+from ..losses import classification_loss, estimate_gb_weights
 from .early_stopping import EarlyStopping
 from .logging import MetricWriter
 from .loop import History, _loss_aux, make_eval_step, make_train_step, run_eval_epoch, run_train_epoch
-from .metrics import accuracy, macro_f1
+from .metrics import macro_f1
 from .state import TrainState, save_checkpoint
 
 STREAMS = ("video", "0D", "multi")

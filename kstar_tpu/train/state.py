@@ -16,7 +16,6 @@ import jax
 import jax.numpy as jnp
 import optax
 from flax import serialization, struct
-from flax.core import FrozenDict
 
 from ..config import OptimConfig
 
