@@ -15,7 +15,11 @@ import os
 def main(argv=None):
     p = argparse.ArgumentParser(description="ASHA hyperparameter search")
     p.add_argument("--model", type=str, default="MLSTM_FCN",
-                   choices=["Transformer", "CnnLSTM", "MLSTM_FCN"])
+                   choices=["Transformer", "CnnLSTM", "MLSTM_FCN",
+                            "ViViT", "R2Plus1D", "SlowFast"])
+    p.add_argument("--kind", type=str, default=None, choices=["0D", "vision"],
+                   help="inferred from --model when omitted")
+    p.add_argument("--image_size", type=int, default=64)
     p.add_argument("--data_root", type=str, default="./dataset")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--n_trials", type=int, default=16)
@@ -34,26 +38,57 @@ def main(argv=None):
     import numpy as np
 
     from ..config import (CnnLSTMConfig, DT_0D, LossConfig, MLSTMFCNConfig,
-                          OptimConfig, Schema, TransformerConfig)
-    from ..data import TSDataset, prepare_0d_dataset
-    from ..models import build_0d_model
+                          OptimConfig, R2Plus1DConfig, Schema, SlowFastConfig,
+                          TransformerConfig, ViViTConfig)
+    from ..data import TSDataset, VideoDataset, prepare_0d_dataset, split_shots
+    from ..data.device_pipe import DevicePreprocessor
+    from ..models import build_0d_model, build_video_model
     from ..train import create_train_state, make_eval_step, make_train_step
-    from ..train.hpo import run_asha, search_space_0d
+    from ..train.hpo import run_asha, search_space_0d, search_space_video
     from ..train.loop import _loss_aux, run_eval_epoch, run_train_epoch
     from .common import load_data
 
+    kind = args.kind or ("vision" if args.model in ("ViViT", "R2Plus1D", "SlowFast")
+                         else "0D")
     cols = Schema.INPUT_FEATURES
     test_shot = None if args.synthetic else args.test_shot_num
     ns = argparse.Namespace(synthetic=args.synthetic, data_root=args.data_root,
                             random_seed=args.random_seed)
-    disrupt_df, ts_df, _ = load_data(ns, need_video=False, dt=DT_0D)
-    df_train, df_valid, df_test, scaler = prepare_0d_dataset(ts_df, cols,
-                                                             test_shot=test_shot)
-    mk = lambda df: TSDataset(df, disrupt_df, cols, seq_len=args.seq_len,
-                              dist=args.dist, dt=DT_0D, scaler=scaler)
-    train_ds, valid_ds, test_ds = mk(df_train), mk(df_valid), mk(df_test)
+    put = None
+    if kind == "vision":
+        disrupt_df, ts_df, store = load_data(ns, need_video=True, dt=DT_0D)
+        shots = sorted(store.arrays.keys())
+        train_s, valid_s, test_s = split_shots(shots, test_shot)
+        crop = min(args.image_size, store.arrays[shots[0]].shape[1])
+        mkv = lambda ss: VideoDataset(store, disrupt_df, ss,
+                                      seq_len=args.seq_len, dist=args.dist)
+        train_ds, valid_ds, test_ds = mkv(train_s), mkv(valid_s), mkv(test_s)
+        import jax.numpy as jnp
+        put = DevicePreprocessor(crop, train=False, out_dtype=jnp.float32)
+    else:
+        disrupt_df, ts_df, _ = load_data(ns, need_video=False, dt=DT_0D)
+        df_train, df_valid, df_test, scaler = prepare_0d_dataset(ts_df, cols,
+                                                                 test_shot=test_shot)
+        mk = lambda df: TSDataset(df, disrupt_df, cols, seq_len=args.seq_len,
+                                  dist=args.dist, dt=DT_0D, scaler=scaler)
+        train_ds, valid_ds, test_ds = mk(df_train), mk(df_valid), mk(df_test)
 
     def make_model(config):
+        if args.model == "ViViT":
+            cfg = ViViTConfig(image_size=min(args.image_size, 64), n_frames=args.seq_len,
+                              dim=config.get("dim", 64), depth=config.get("depth", 1),
+                              n_heads=config.get("n_heads", 2), d_head=32,
+                              scale_dim=2, dropout=config.get("dropout", 0.1))
+            return build_video_model(args.model, cfg)
+        if args.model == "R2Plus1D":
+            cfg = R2Plus1DConfig(image_size=min(args.image_size, 64), n_frames=args.seq_len,
+                                 layer_sizes=tuple(config.get("layer_sizes", (1, 1, 1, 1))))
+            return build_video_model(args.model, cfg)
+        if args.model == "SlowFast":
+            L = args.seq_len - args.seq_len % config.get("alpha", 4)
+            cfg = SlowFastConfig(image_size=min(args.image_size, 64), n_frames=L,
+                                 alpha=config.get("alpha", 4))
+            return build_video_model(args.model, cfg)
         if args.model == "Transformer":
             cfg = TransformerConfig(n_features=len(cols), max_len=args.seq_len,
                                     feature_dims=config.get("feature_dims", 128),
@@ -78,9 +113,10 @@ def main(argv=None):
                               focal_gamma=config.get("focal_gamma", 2.0))
         if carry is None:
             model = make_model(config)
-            x0, _ = train_ds.batch(np.arange(min(batch_size, len(train_ds))))
+            b0 = train_ds.batch(np.arange(min(batch_size, len(train_ds))))
+            x0 = put(b0)[0] if put is not None else jnp.asarray(b0[0])
             state = create_train_state(
-                model, jnp.asarray(x0), jax.random.key(args.random_seed),
+                model, x0, jax.random.key(args.random_seed),
                 OptimConfig(lr=config.get("lr", 1e-3)))
             steps = (make_train_step(model, loss_cfg),
                      make_eval_step(model, loss_cfg))
@@ -95,13 +131,16 @@ def main(argv=None):
             w, m = _loss_aux(loss_cfg, counts, ep, max(n_epochs, 1))
             gb = jnp.zeros(3)
             state, *_ = run_train_epoch(train_step, state, train_ds, batch_size,
-                                        rng, w, m, gb)
-            _, _, f1 = run_eval_epoch(eval_step, state, valid_ds, batch_size, w, m, gb)
+                                        rng, w, m, gb, put=put)
+            _, _, f1 = run_eval_epoch(eval_step, state, valid_ds, batch_size, w, m, gb,
+                                      put=put)
             scores.append(f1)
         return (model, state, steps), scores
 
+    space = (search_space_video(args.model) if kind == "vision"
+             else search_space_0d(args.model))
     best, trials = run_asha(
-        trainable, search_space_0d(args.model), n_trials=args.n_trials,
+        trainable, space, n_trials=args.n_trials,
         max_epochs=args.max_epochs, grace_period=args.grace_period,
         reduction_factor=args.reduction_factor, seed=args.random_seed,
         log_path=os.path.join(args.save_dir, f"hpo_{args.model}.json"))
@@ -113,7 +152,7 @@ def main(argv=None):
     model, state, _ = best.state
     from ..eval import evaluate
     results = evaluate(model, state, test_ds, LossConfig(loss_type="Focal"),
-                       batch_size=128)
+                       batch_size=128, put=put)
     print(f"test macro-F1 {results['macro_f1']:.4f} | ROC-AUC {results['roc_auc']:.4f}")
     return best, results
 

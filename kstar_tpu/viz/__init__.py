@@ -1,6 +1,7 @@
 from .latent import (collect_latents, project, visualize_latent_space,
                      visualize_latent_space_multi)
 from .prob_curve import (plot_learning_curve, plot_shot_probability,
-                         plot_shot_probability_zoom, render_realtime_gif)
+                         plot_shot_probability_zoom, render_realtime_gif,
+                         show_all_frames)
 from .xai import (collect_attention, gradcam_r2plus1d, overlay_cam, rollout,
                   vivit_attention_rollout)

@@ -128,6 +128,30 @@ def plot_learning_curve(history, save_path: Optional[str] = None,
     return fig
 
 
+def show_all_frames(frames_u8: np.ndarray, n_cols: int = 8,
+                    max_frames: int = 64, save_path: Optional[str] = None):
+    """Frame browser: dump a shot's frames in a time grid
+    (reference show_all_frame, src/visualization/visualize_video.py:12)."""
+    plt = _mpl()
+    n = min(len(frames_u8), max_frames)
+    sel = np.linspace(0, len(frames_u8) - 1, n).astype(int)
+    n_rows = (n + n_cols - 1) // n_cols
+    fig, axes = plt.subplots(n_rows, n_cols, figsize=(2 * n_cols, 2 * n_rows))
+    axes = np.atleast_2d(axes)
+    for i, f in enumerate(sel):
+        ax = axes[i // n_cols][i % n_cols]
+        ax.imshow(frames_u8[f][..., ::-1])
+        ax.set_title(f"t={f}", fontsize=7)
+        ax.axis("off")
+    for j in range(n, n_rows * n_cols):
+        axes[j // n_cols][j % n_cols].axis("off")
+    fig.tight_layout()
+    if save_path:
+        os.makedirs(os.path.dirname(os.path.abspath(save_path)), exist_ok=True)
+        fig.savefig(save_path)
+    return fig
+
+
 def render_realtime_gif(
     frames_u8: np.ndarray,       # (T, H, W, C) shot frames (BGR)
     time_x: np.ndarray,
