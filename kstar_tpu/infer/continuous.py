@@ -158,10 +158,20 @@ class VideoSweeper:
             data = self._embed_all_fn(frames_dev) if self._use_tokens else frames_dev
             return sweep_all(data, start_chunks)
 
+        def sweep_shots(frames_stack, chunks_stack):
+            """(S, T_pad, h, w, C) x (S, n_buck, B) -> (S, n_buck, B): scan
+            the whole-shot program over a stacked shot library — one dispatch
+            for offline evaluation over many shots."""
+            def body(_, xs):
+                return None, sweep_shot(xs[0], xs[1])
+            _, probs = jax.lax.scan(body, None, (frames_stack, chunks_stack))
+            return probs
+
         if self._use_tokens:
             self._embed_all_fn = embed_all
         self._sweep_all = jax.jit(sweep_all)
         self._sweep_shot = jax.jit(sweep_shot)
+        self._sweep_shots = jax.jit(sweep_shots)
         self._frames_dev = None
 
     def load_shot(self, frames_u8: np.ndarray):
@@ -215,6 +225,44 @@ class VideoSweeper:
             return np.zeros(0, np.float32)
         probs = np.asarray(self._sweep_shot(frames_dev, self._chunkify(starts)))
         return probs.reshape(-1)[:n]
+
+    def sweep_shots(self, frames_list, starts_list) -> list:
+        """Sweep a whole shot library in ONE dispatch: shots are padded to a
+        common frame-count bucket (repeating the last frame) and a common
+        chunk bucket, scanned on device, and the per-shot probability arrays
+        sliced back out. Amortizes the per-dispatch latency across shots for
+        offline evaluation."""
+        S = len(frames_list)
+        if S == 0:
+            return []
+        B = self.batch_size
+        t_buck = 1 << (max(len(f) for f in frames_list) - 1).bit_length()
+        n_bucks = []
+        for starts in starts_list:
+            n_chunks = max((len(starts) + B - 1) // B, 1)
+            n_bucks.append(1 << (n_chunks - 1).bit_length())
+        n_buck = max(n_bucks)
+
+        y0 = None
+        stack = []
+        chunk_stack = []
+        for frames_u8, starts in zip(frames_list, starts_list):
+            H, W = frames_u8.shape[1], frames_u8.shape[2]
+            y0 = H // 2 - self.crop_size // 2
+            x0 = W // 2 - self.crop_size // 2
+            cropped = np.ascontiguousarray(
+                frames_u8[:, y0:y0 + self.crop_size, x0:x0 + self.crop_size, :])
+            if len(cropped) < t_buck:
+                pad = np.repeat(cropped[-1:], t_buck - len(cropped), axis=0)
+                cropped = np.concatenate([cropped, pad], axis=0)
+            stack.append(cropped)
+            padded = np.zeros(n_buck * B, np.int64)
+            padded[: len(starts)] = starts
+            chunk_stack.append(padded.reshape(n_buck, B))
+
+        probs = np.asarray(self._sweep_shots(
+            jax.device_put(np.stack(stack)), jnp.asarray(np.stack(chunk_stack))))
+        return [probs[i].reshape(-1)[: len(starts_list[i])] for i in range(S)]
 
 
 def predict_video_shot(

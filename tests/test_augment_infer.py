@@ -105,3 +105,27 @@ class TestVideoSweepAlignment:
         assert (probs[:18] == 0).all()
         assert len(time_x) == len(probs)
         assert probs.min() >= 0 and probs.max() <= 1
+
+
+class TestMultiShotSweep:
+    def test_batched_matches_per_shot(self):
+        import jax
+        import jax.numpy as jnp
+
+        from kstar_tpu.infer.continuous import VideoSweeper
+        from kstar_tpu.models import ViViT
+
+        m = ViViT(image_size=16, patch_size=8, n_frames=4, dim=16, depth=1,
+                  n_heads=2, d_head=8, scale_dim=2, dropout=0.0, embedd_dropout=0.0)
+        rngs = {"params": jax.random.key(0), "noise": jax.random.key(1),
+                "dropout": jax.random.key(2)}
+        v = m.init(rngs, jnp.zeros((1, 4, 16, 16, 3)), train=False)
+        sw = VideoSweeper(m, v["params"], {}, seq_len=4, crop_size=16,
+                          batch_size=8, compute_dtype=jnp.float32)
+        rng = np.random.default_rng(0)
+        frames_list = [rng.integers(0, 255, (n, 16, 16, 3), dtype=np.uint8)
+                       for n in (40, 55, 33)]
+        starts_list = [np.arange(n - 5, dtype=np.int64) for n in (40, 55, 33)]
+        batched = sw.sweep_shots(frames_list, starts_list)
+        for f, s, pb in zip(frames_list, starts_list, batched):
+            np.testing.assert_allclose(pb, sw.sweep(f, s), atol=2e-5)
