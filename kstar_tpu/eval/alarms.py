@@ -40,18 +40,35 @@ def evaluate_video_alarms(
     'summary': dict}."""
     import jax.numpy as jnp
 
+    from ..config import FPS
+    from ..infer.continuous import VideoSweeper, startup_suppression
+
     compute_dtype = compute_dtype or jnp.bfloat16
-    rows: List[Dict] = []
+    shots = [s for s in shots if s in store]
+
+    # one dispatch for the whole shot library (sweep_shots); per-shot
+    # padding/suppression/alignment identical to predict_video_shot
+    sweeper = VideoSweeper(model, params, batch_stats, seq_len, crop_size,
+                           batch_size, compute_dtype)
+    frames_list, starts_list, metas = [], [], []
     for shot in shots:
-        if shot not in store:
-            continue
         r = disrupt_df[disrupt_df.shot == shot].iloc[0]
         frames = np.asarray(store.arrays[int(shot)])
-        time_x, probs = predict_video_shot(
-            model, params, batch_stats, frames,
-            int(r.frame_startup), int(r.frame_cutoff),
-            seq_len=seq_len, dist=dist, crop_size=crop_size,
-            batch_size=batch_size, compute_dtype=compute_dtype)
+        sub = frames[int(r.frame_startup): int(r.frame_cutoff) + int(FPS)]
+        n_windows = max(len(sub) - seq_len - dist, 0)
+        frames_list.append(sub)
+        starts_list.append(np.arange(n_windows, dtype=np.int64))
+        metas.append(r)
+    probs_list = sweeper.sweep_shots(frames_list, starts_list)
+
+    rows: List[Dict] = []
+    for shot, r, raw in zip(shots, metas, probs_list):
+        prob_full = np.concatenate([
+            np.zeros(seq_len + int(r.frame_startup), np.float32),
+            raw[1:-1] if len(raw) > 2 else raw[:0],
+        ])
+        probs = startup_suppression(prob_full, int(FPS * 1))
+        time_x = np.arange(len(probs)) / FPS
         t_alarm = alarm_times(time_x, probs, threshold, t_min)
         t_cq = float(r.tipminf)
         w = warning_time(t_alarm, t_cq)
