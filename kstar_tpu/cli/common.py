@@ -7,6 +7,18 @@ import argparse
 import os
 from typing import List, Optional, Tuple
 
+# Honor JAX_PLATFORMS for CLI runs: the environment's sitecustomize registers
+# the axon TPU plugin at interpreter startup, which overrides the env var —
+# jax.config.update before first backend use restores it (same workaround as
+# tests/conftest.py).
+if os.environ.get("JAX_PLATFORMS"):
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass  # backend already initialized — too late to switch
+
 import numpy as np
 import pandas as pd
 

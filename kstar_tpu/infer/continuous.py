@@ -78,6 +78,26 @@ def startup_suppression(probs: np.ndarray, n_samples: int) -> np.ndarray:
 # Batched device sweeps
 # ---------------------------------------------------------------------------
 
+def _vivit_hparam(model, name: str, default: int) -> int:
+    """Spatial-transformer hyperparameter for the fused table kernel — from
+    the model attrs (ViViT), a nested vis_model (MultiModalGB/TFNGB), or the
+    fusion models' vivit kwargs (MultiModalConcat/TFN)."""
+    v = getattr(model, name, None)
+    if v is None and getattr(model, "vis_model", None) is not None:
+        v = getattr(model.vis_model, name, None)
+    if v is None:
+        v = dict(getattr(model, "vivit_kwargs", {}) or {}).get(name)
+    return int(v) if v is not None else default
+
+
+def _model_depth(model) -> int:
+    return _vivit_hparam(model, "depth", 2)
+
+
+def _model_heads(model):
+    return _vivit_hparam(model, "n_heads", 4), _vivit_hparam(model, "d_head", 64)
+
+
 class VideoSweeper:
     """Compiled stride-1 sliding-window sweep over on-device frames.
 
@@ -91,7 +111,8 @@ class VideoSweeper:
     """
 
     def __init__(self, model, params, batch_stats, seq_len: int, crop_size: int,
-                 batch_size: int = 64, compute_dtype=jnp.bfloat16):
+                 batch_size: int = 64, compute_dtype=jnp.bfloat16,
+                 use_fused_table: Optional[bool] = None):
         self.seq_len = seq_len
         self.crop_size = crop_size
         self.batch_size = batch_size
@@ -111,11 +132,38 @@ class VideoSweeper:
         # temporal transformer over gathered cls embeddings.
         self._use_tokens = hasattr(model, "spatial_cls")
 
-        if self._use_tokens:
-            def embed_all(frames_u8):
-                x = frames_u8.astype(compute_dtype) - mean       # (T, h, w, C)
-                tokens = model.apply(variables, x, method="embed_frames")
+        # fused Pallas table kernel (ops/spatial_table.py): the 21-offset XLA
+        # scan is HBM-bound (459 ms/shot at bench shapes); the kernel keeps
+        # the whole spatial transformer in VMEM (183 ms, 2.6x). Auto-on for
+        # TPU backends; CPU/interpret paths keep the XLA scan.
+        self._fused_weights = None
+        if self._use_tokens and use_fused_table is not False:
+            # the kernel's 2D (F*N, D) layout needs a lane-aligned model dim;
+            # tiny debug configs (dim 32) fail Mosaic's shape-cast rules
+            dim_ok = _vivit_hparam(model, "dim", 128) % 128 == 0
+            if use_fused_table and not dim_ok:
+                raise ValueError(
+                    "use_fused_table requires the ViViT dim to be a multiple "
+                    "of 128 (ops/spatial_table.py layout constraint)")
+            try:
+                from ..ops.spatial_table import extract_spatial_weights
+                on_tpu = jax.default_backend() not in ("cpu",)
+                if dim_ok and (use_fused_table
+                               or (use_fused_table is None and on_tpu)):
+                    self._fused_weights = extract_spatial_weights(
+                        params, seq_len, depth=_model_depth(model),
+                        dtype=compute_dtype)
+            except Exception:
+                if use_fused_table:
+                    raise
+                self._fused_weights = None
 
+        if self._use_tokens:
+            fused_w = self._fused_weights
+            n_heads, d_head = _model_heads(model)
+            depth = _model_depth(model)
+
+            def cls_table_scan(tokens):
                 def per_offset(_, off):
                     cls = model.apply(variables, tokens, off, method="spatial_cls")
                     return None, cls                             # (T, D)
@@ -123,6 +171,28 @@ class VideoSweeper:
                 _, cls_table = jax.lax.scan(per_offset, None,
                                             jnp.arange(seq_len))
                 return cls_table                                 # (L, T, D)
+
+            def cls_table_fused(tokens):
+                from ..ops.spatial_table import spatial_table
+                T = tokens.shape[0]
+                block_f = 16
+                tokens65 = jnp.pad(tokens, ((0, 0), (1, 0), (0, 0)))
+                pad = (-T) % block_f
+                if pad:
+                    tokens65 = jnp.concatenate(
+                        [tokens65, jnp.broadcast_to(tokens65[-1:],
+                                                    (pad,) + tokens65.shape[1:])])
+                table = spatial_table(tokens65, fused_w, seq_len, depth=depth,
+                                      n_heads=n_heads, d_head=d_head,
+                                      block_f=block_f, compute_dtype=compute_dtype)
+                return table[:, :T, :]
+
+            def embed_all(frames_u8):
+                x = frames_u8.astype(compute_dtype) - mean       # (T, h, w, C)
+                tokens = model.apply(variables, x, method="embed_frames")
+                if fused_w is not None:
+                    return cls_table_fused(tokens)
+                return cls_table_scan(tokens)
 
             def chunk_probs(cls_table, starts):
                 # window s uses frame s+1+k at offset k-1? no: frames

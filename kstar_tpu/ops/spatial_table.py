@@ -1,0 +1,328 @@
+"""Fused spatial-cls-table Pallas kernel — the sweep's flagship hot op.
+
+The continuous-inference fast path precomputes, per shot, the ViViT spatial
+transformer's cls embedding for every (in-window offset, frame) pair
+(models/vivit.py ``spatial_cls``; reference spatial transformer
+src/models/ViViT.py:186-191). As 21 XLA passes over (T, 65, 128) this is
+HBM-bandwidth-bound: each of the ~15 ops per transformer block reads and
+writes 70-550 MB of activations, ~109 GB total per shot (measured 459 ms,
+11% of v5e bf16 peak — see PERFORMANCE.md round 2).
+
+This kernel fuses the ENTIRE depth-2 spatial transformer — LayerNorm, qkv,
+per-frame 65-token attention, output projection, feed-forward, residuals,
+final LayerNorm — over all ``n_offsets`` offsets for a block of frames, with
+every intermediate held in VMEM. HBM traffic drops to one read of the token
+table (67 MB) plus one write of the (offsets, T, dim) cls table (21 MB);
+the pass becomes MXU-bound.
+
+Numerics match the XLA path: f32 LayerNorm/softmax, bf16 matmul operands
+with f32 accumulation, tanh-approximate GELU — verified on-chip against
+``spatial_cls`` (tests/test_ops_spatial_table.py runs the interpret-mode
+kernel against the flax module).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class SpatialWeights(NamedTuple):
+    """Flat weight bundle for the fused kernel (all bf16 except noted).
+
+    Per depth d: ln_a scale/bias, w_qkv (D, 3*inner), ln_f scale/bias,
+    w_out (inner, D), b_out, w_ff1 (D, M), b_ff1, w_ff2 (M, D), b_ff2.
+    Plus final LayerNorm scale/bias and the per-offset additive base:
+    base (n_off, N, D) with row 0 = space_token + pos[:, 0] and rows 1..N
+    = pos[:, 1:] — added to zero-cls-padded tokens, it reproduces
+    concat([cls, tokens]) + pos exactly.
+    """
+    base: jnp.ndarray
+    ln_a_s: tuple
+    ln_a_b: tuple
+    w_qkv: tuple
+    ln_f_s: tuple
+    ln_f_b: tuple
+    w_out: tuple
+    b_out: tuple
+    w_ff1: tuple
+    b_ff1: tuple
+    w_ff2: tuple
+    b_ff2: tuple
+    ln_fin_s: jnp.ndarray
+    ln_fin_b: jnp.ndarray
+
+
+def find_spatial_params(params):
+    """Locate the ViViT-encoder subtree (the dict holding space_transformer +
+    pos_embedding) anywhere in a params tree — handles the bare ViViT
+    (params['encoder']) and the fusion models (encoder_video / vis_model
+    nesting, models/fusion.py)."""
+    if isinstance(params, dict):
+        if "space_transformer" in params and "pos_embedding" in params:
+            return params
+        for v in params.values():
+            found = find_spatial_params(v)
+            if found is not None:
+                return found
+    return None
+
+
+def extract_spatial_weights(params, n_offsets: int, depth: int = 2,
+                            dtype=jnp.bfloat16) -> SpatialWeights:
+    """Pull the spatial-transformer weights out of a ViViT params tree
+    (models/vivit.py layout, located anywhere in the tree) into the kernel's
+    flat bundle."""
+    enc = find_spatial_params(params)
+    if enc is None:
+        raise KeyError("no ViViT spatial transformer found in params tree")
+    st = enc["space_transformer"]
+    pos = enc["pos_embedding"][0]                     # (T_win, N, D) f32
+    tok = enc["space_token"][0, 0]                    # (D,)
+
+    base = pos[:n_offsets].at[:, 0, :].add(tok[None, :]).astype(dtype)
+
+    def g(name, sub):
+        return st[name][sub]
+
+    c = lambda x: jnp.asarray(x, dtype)
+    f = lambda x: jnp.asarray(x, jnp.float32)
+    return SpatialWeights(
+        base=base,
+        ln_a_s=tuple(f(g(f"attn_norm_{d}", "scale"))[None] for d in range(depth)),
+        ln_a_b=tuple(f(g(f"attn_norm_{d}", "bias"))[None] for d in range(depth)),
+        w_qkv=tuple(c(st[f"attn_{d}"]["to_qkv"]["kernel"]) for d in range(depth)),
+        ln_f_s=tuple(f(g(f"ff_norm_{d}", "scale"))[None] for d in range(depth)),
+        ln_f_b=tuple(f(g(f"ff_norm_{d}", "bias"))[None] for d in range(depth)),
+        w_out=tuple(c(st[f"attn_{d}"]["to_out"]["kernel"]) for d in range(depth)),
+        b_out=tuple(c(st[f"attn_{d}"]["to_out"]["bias"])[None] for d in range(depth)),
+        w_ff1=tuple(c(st[f"ff1_{d}"]["kernel"]) for d in range(depth)),
+        b_ff1=tuple(c(st[f"ff1_{d}"]["bias"])[None] for d in range(depth)),
+        w_ff2=tuple(c(st[f"ff2_{d}"]["kernel"]) for d in range(depth)),
+        b_ff2=tuple(c(st[f"ff2_{d}"]["bias"])[None] for d in range(depth)),
+        ln_fin_s=f(st["final_norm"]["scale"])[None],
+        ln_fin_b=f(st["final_norm"]["bias"])[None],
+    )
+
+
+def _attention(qkv, n_heads: int, d_head: int, scale: float, compute_dtype,
+               mode: str):
+    """Per-frame 65-token multi-head attention inside the kernel.
+
+    modes:
+      batched       — one batched dot per head over the frame dim (default;
+                      Mosaic streams batched-dot elements at ~1 row/cycle,
+                      ~79 ms of the 183 ms kernel at bench shapes — see
+                      PERFORMANCE.md for the variants that lost)
+      global-masked — flatten frames into one sequence, 2D dots with a
+                      block-diagonal mask (F x more FLOPs; loses to batched
+                      once the 16x softmax waste is counted)
+      none          — skip attention (profiling ceiling; NOT exact)
+
+    (heads-in-batch and frame-pair packing variants crashed the Mosaic
+    compiler on their cross-batch reshapes and were removed)
+    """
+    F, N, _ = qkv.shape
+    inner = n_heads * d_head
+
+    if mode == "none":
+        return qkv[:, :, 2 * inner:3 * inner]
+
+    if mode == "batched":
+        outs = []
+        for hh in range(n_heads):
+            q = qkv[:, :, hh * d_head:(hh + 1) * d_head]
+            k = qkv[:, :, inner + hh * d_head:inner + (hh + 1) * d_head]
+            v = qkv[:, :, 2 * inner + hh * d_head:2 * inner + (hh + 1) * d_head]
+            s = jax.lax.dot_general(
+                q, k, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32) * scale        # (F, N, N)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m)
+            p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(compute_dtype)
+            o = jax.lax.dot_general(
+                p, v, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)                # (F, N, dh)
+            outs.append(o.astype(compute_dtype))
+        return jnp.concatenate(outs, axis=-1)
+
+    if mode == "global-masked":
+        L = F * N
+        frame_q = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0) // N
+        frame_k = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1) // N
+        mask = frame_q == frame_k
+        outs = []
+        for hh in range(n_heads):
+            q = qkv[:, :, hh * d_head:(hh + 1) * d_head].reshape(L, d_head)
+            k = qkv[:, :, inner + hh * d_head:inner + (hh + 1) * d_head].reshape(L, d_head)
+            v = qkv[:, :, 2 * inner + hh * d_head:2 * inner + (hh + 1) * d_head].reshape(L, d_head)
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale        # (L, L)
+            s = jnp.where(mask, s, -1e30)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m)
+            p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(compute_dtype)
+            o = jax.lax.dot_general(
+                p, v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)                # (L, dh)
+            outs.append(o.astype(compute_dtype))
+        return jnp.concatenate(outs, axis=-1).reshape(F, N, inner)
+
+    raise ValueError(f"unknown attn_mode {mode!r}")
+
+
+def _layer_norm(x32, scale, bias, eps=1e-6):
+    """flax.linen.LayerNorm semantics in f32 (mean-of-squares variance)."""
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    mean2 = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+    var = jnp.maximum(mean2 - mean * mean, 0.0)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return y * scale + bias
+
+
+def _kernel(tokens_ref, base_ref, *w_refs,
+            out_ref, depth: int, n_offsets: int, n_heads: int, d_head: int,
+            compute_dtype, attn_mode: str = "batched", debug_skip: tuple = ()):
+    """One grid step: F frames x all offsets, everything in VMEM."""
+    F = tokens_ref.shape[0]
+    D = tokens_ref.shape[2]
+    scale = d_head ** -0.5
+
+    # unpack flat refs in SpatialWeights field order (minus the two bases)
+    it = iter(w_refs)
+    ln_a_s = [next(it) for _ in range(depth)]
+    ln_a_b = [next(it) for _ in range(depth)]
+    w_qkv = [next(it) for _ in range(depth)]
+    ln_f_s = [next(it) for _ in range(depth)]
+    ln_f_b = [next(it) for _ in range(depth)]
+    w_out = [next(it) for _ in range(depth)]
+    b_out = [next(it) for _ in range(depth)]
+    w_ff1 = [next(it) for _ in range(depth)]
+    b_ff1 = [next(it) for _ in range(depth)]
+    w_ff2 = [next(it) for _ in range(depth)]
+    b_ff2 = [next(it) for _ in range(depth)]
+    ln_fin_s = next(it)
+    ln_fin_b = next(it)
+
+    tokens = tokens_ref[:]                                     # (F, N, D), row 0 zero
+
+    N = tokens.shape[1]
+
+    def dot2d(a, w):
+        return jax.lax.dot_general(a, w, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    def ln(x32, s, b):
+        if "ln" in debug_skip:
+            return x32
+        return _layer_norm(x32, s, b)
+
+    def gelu(x):
+        if "gelu" in debug_skip:
+            return x
+        return jax.nn.gelu(x, approximate=True)
+
+    def per_offset(off, _):
+        base = base_ref[pl_ds(off, 1), :, :][0]                # (N, D)
+        # 2D (F*N, D) layout for all Dense matmuls — Mosaic executes rank-3
+        # dots one leading-index at a time (65-row matmuls); flat 2D keeps
+        # the MXU streaming
+        x = (tokens + base[None]).astype(compute_dtype).reshape(F * N, D)
+
+        for d in range(depth):
+            h32 = ln(x.astype(jnp.float32), ln_a_s[d][:], ln_a_b[d][:])
+            h = h32.astype(compute_dtype)
+            qkv = dot2d(h, w_qkv[d][:]).astype(compute_dtype)      # (F*N, 3*inner)
+            attn = _attention(qkv.reshape(F, N, 3 * n_heads * d_head),
+                              n_heads, d_head, scale, compute_dtype,
+                              attn_mode)                           # (F, N, inner)
+            proj = dot2d(attn.reshape(F * N, n_heads * d_head),
+                         w_out[d][:]).astype(compute_dtype)
+            x = x + (proj + b_out[d][:])
+            f32 = ln(x.astype(jnp.float32), ln_f_s[d][:], ln_f_b[d][:])
+            hf = f32.astype(compute_dtype)
+            mid = dot2d(hf, w_ff1[d][:]).astype(compute_dtype) + b_ff1[d][:]
+            mid = gelu(mid)
+            out2 = dot2d(mid, w_ff2[d][:]).astype(compute_dtype)
+            x = x + (out2 + b_ff2[d][:])
+
+        fin = ln(x.astype(jnp.float32), ln_fin_s[:], ln_fin_b[:])
+        cls = fin.reshape(F, N, D)[:, 0, :].astype(out_ref.dtype)  # (F, D)
+        out_ref[pl_ds(off, 1), :, :] = cls[None]
+        return _
+
+    jax.lax.fori_loop(0, n_offsets, per_offset, None)
+
+
+# pl.ds alias resolved lazily so this module imports without pallas on CPU-only
+def pl_ds(start, size):
+    from jax.experimental import pallas as pl
+    return pl.ds(start, size)
+
+
+def spatial_table(tokens: jnp.ndarray, weights: SpatialWeights,
+                  n_offsets: int, depth: int = 2, n_heads: int = 4,
+                  d_head: int = 64, block_f: int = 16,
+                  compute_dtype=jnp.bfloat16, attn_mode: str = "batched",
+                  debug_skip: tuple = (),
+                  interpret: bool = False) -> jnp.ndarray:
+    """(T, N, D) zero-cls-padded patch tokens -> (n_offsets, T, D) cls table.
+
+    ``tokens[:, 0]`` must be zeros (the cls slot — its content comes from
+    ``weights.base``); rows 1..N are the patch embeddings. Grid over frame
+    blocks; all offsets and the full transformer fused per step. T must be a
+    multiple of block_f (the sweep pads shots to power-of-two buckets).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    T, n_tok, D = tokens.shape
+    assert T % block_f == 0, (T, block_f)
+    out_dtype = compute_dtype
+
+    w_list = (list(weights.ln_a_s) + list(weights.ln_a_b) + list(weights.w_qkv)
+              + list(weights.ln_f_s) + list(weights.ln_f_b)
+              + list(weights.w_out) + list(weights.b_out)
+              + list(weights.w_ff1) + list(weights.b_ff1)
+              + list(weights.w_ff2) + list(weights.b_ff2)
+              + [weights.ln_fin_s, weights.ln_fin_b])
+    # reorder to match _kernel's unpack: fields are already grouped per type
+    kern = functools.partial(
+        _kernel, depth=depth, n_offsets=n_offsets, n_heads=n_heads,
+        d_head=d_head, compute_dtype=compute_dtype, attn_mode=attn_mode,
+        debug_skip=debug_skip)
+
+    def wrapped(tokens_ref, base_ref, *rest):
+        *w_refs, out_ref = rest
+        kern(tokens_ref, base_ref, *w_refs, out_ref=out_ref)
+
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    grid = (T // block_f,)
+    return pl.pallas_call(
+        wrapped,
+        out_shape=jax.ShapeDtypeStruct((n_offsets, T, D), out_dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_f, n_tok, D), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            full(),
+        ] + [full() for _ in w_list],
+        out_specs=pl.BlockSpec((n_offsets, block_f, D), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(tokens, weights.base, *w_list)
+
+
+def spatial_table_xla(model, variables, tokens: jnp.ndarray,
+                      n_offsets: int) -> jnp.ndarray:
+    """Reference XLA path (the round-1 scan) for A/B and fallback."""
+    def per_offset(_, off):
+        cls = model.apply(variables, tokens, off, method="spatial_cls")
+        return None, cls
+
+    _, table = jax.lax.scan(per_offset, None, jnp.arange(n_offsets))
+    return table
