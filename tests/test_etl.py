@@ -44,6 +44,7 @@ class TestTSPipeline:
             df = pd.DataFrame({
                 "shot": 100 + i, "time": t,
                 "\\q95": 3 + np.sin(t) + rng.normal(0, 0.05, n),
+                "\\ipmhd": -(0.4 + 0.05 * t) * 1e6,   # raw units: A, negative
                 "\\RC03": 0.6 + 0.1 * t,
                 "\\aminor": 0.5 + 0.01 * np.cos(t),
                 "\\VCM03": 0.7 + 0.1 * t,
@@ -79,6 +80,11 @@ class TestTSPipeline:
         assert "\\nG" in out.columns and "\\ne_nG_ratio" in out.columns
         assert "\\Iv" in out.columns
         np.testing.assert_allclose(out["\\Iv"], raw["\\VCM03"] - raw["\\RC03"])
+        # nG = Ip / (pi a^2), ratio scaled by 0.1 (reference :220-221)
+        np.testing.assert_allclose(
+            out["\\nG"], raw["\\ipmhd"] / np.pi / raw["\\aminor"] ** 2)
+        np.testing.assert_allclose(
+            out["\\ne_nG_ratio"], raw["\\ne_inter01"] / out["\\nG"] * 0.1)
 
     def test_build_table_end_to_end(self):
         raw = self._raw(2)
