@@ -31,6 +31,12 @@ def add_common_args(p: argparse.ArgumentParser, batch_size: int = 64) -> None:
                    help="root with video/<shot>.npy, shot_list.csv, ts_data.csv")
     p.add_argument("--synthetic", action="store_true",
                    help="run on generated synthetic shots (smoke test)")
+    p.add_argument("--synthetic_difficulty", type=float, default=0.0,
+                   help="0 = trivially separable fixture; >0 adds gradual "
+                        "seconds-scale precursors, distractor flashes and "
+                        "noise (data/synthetic.py)")
+    p.add_argument("--synthetic_shots", type=int, default=10)
+    p.add_argument("--synthetic_frames", type=int, default=256)
     p.add_argument("--random_seed", type=int, default=42)
     p.add_argument("--save_dir", type=str, default="./results")
     p.add_argument("--weight_dir", type=str, default="./weights")
@@ -102,8 +108,11 @@ def load_data(args, need_video: bool = False, dt: float = 4.0 / 210.0):
         from ..data import synthetic
 
         shots, disrupt_df, ts_df = synthetic.make_dataset(
-            n_shots=10, n_frames=256, height=64, width=64, dt=dt,
-            seed=args.random_seed)
+            n_shots=getattr(args, "synthetic_shots", 10),
+            n_frames=getattr(args, "synthetic_frames", 256),
+            height=64, width=64, dt=dt,
+            seed=args.random_seed,
+            difficulty=getattr(args, "synthetic_difficulty", 0.0))
         store = VideoStore.from_arrays({s.shot: s.frames for s in shots})
         return disrupt_df, ts_df, store
 

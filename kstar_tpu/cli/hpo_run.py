@@ -31,6 +31,9 @@ def main(argv=None):
     p.add_argument("--random_seed", type=int, default=42)
     p.add_argument("--save_dir", type=str, default="./results")
     p.add_argument("--test_shot_num", type=int, default=21310)
+    p.add_argument("--hpo_workers", type=int, default=1,
+                   help="concurrent trials per rung; trials round-robin over "
+                        "jax.devices() (the reference's Ray Tune concurrency)")
     args = p.parse_args(argv)
 
     import jax
@@ -106,36 +109,45 @@ def main(argv=None):
                                  lstm_dropout=config.get("lstm_dropout", 0.1))
         return build_0d_model(args.model, cfg)
 
-    def trainable(config, n_epochs, carry):
-        """Train n_epochs more; carry = (model, state, steps) for resume."""
-        batch_size = int(config.get("batch_size", 128))
-        loss_cfg = LossConfig(loss_type="Focal",
-                              focal_gamma=config.get("focal_gamma", 2.0))
-        if carry is None:
-            model = make_model(config)
-            b0 = train_ds.batch(np.arange(min(batch_size, len(train_ds))))
-            x0 = put(b0)[0] if put is not None else jnp.asarray(b0[0])
-            state = create_train_state(
-                model, x0, jax.random.key(args.random_seed),
-                OptimConfig(lr=config.get("lr", 1e-3)))
-            steps = (make_train_step(model, loss_cfg),
-                     make_eval_step(model, loss_cfg))
-        else:
-            model, state, steps = carry
-        train_step, eval_step = steps
+    def trainable(config, n_epochs, carry, device=None):
+        """Train n_epochs more; carry = (model, state, steps) for resume.
+        ``device`` pins this trial's arrays/compute (parallel rungs)."""
+        import contextlib
 
-        counts = train_ds.class_counts()
-        rng = np.random.default_rng(args.random_seed)
-        scores = []
-        for ep in range(n_epochs):
-            w, m = _loss_aux(loss_cfg, counts, ep, max(n_epochs, 1))
-            gb = jnp.zeros(3)
-            state, *_ = run_train_epoch(train_step, state, train_ds, batch_size,
-                                        rng, w, m, gb, put=put)
-            _, _, f1 = run_eval_epoch(eval_step, state, valid_ds, batch_size, w, m, gb,
-                                      put=put)
-            scores.append(f1)
-        return (model, state, steps), scores
+        ctx = (jax.default_device(device) if device is not None
+               else contextlib.nullcontext())
+        with ctx:
+            batch_size = int(config.get("batch_size", 128))
+            loss_cfg = LossConfig(loss_type="Focal",
+                                  focal_gamma=config.get("focal_gamma", 2.0))
+            if carry is None:
+                model = make_model(config)
+                b0 = train_ds.batch(np.arange(min(batch_size, len(train_ds))))
+                x0 = put(b0)[0] if put is not None else jnp.asarray(b0[0])
+                state = create_train_state(
+                    model, x0, jax.random.key(args.random_seed),
+                    OptimConfig(lr=config.get("lr", 1e-3)))
+                steps = (make_train_step(model, loss_cfg),
+                         make_eval_step(model, loss_cfg))
+            else:
+                model, state, steps = carry
+            train_step, eval_step = steps
+
+            counts = train_ds.class_counts()
+            rng = np.random.default_rng(args.random_seed)
+            scores = []
+            for ep in range(n_epochs):
+                w, m = _loss_aux(loss_cfg, counts, ep, max(n_epochs, 1))
+                gb = jnp.zeros(3)
+                # prefetch=False: the threaded producer would device_put
+                # outside this thread's default_device context
+                state, *_ = run_train_epoch(train_step, state, train_ds,
+                                            batch_size, rng, w, m, gb, put=put,
+                                            prefetch=device is None)
+                _, _, f1 = run_eval_epoch(eval_step, state, valid_ds, batch_size,
+                                          w, m, gb, put=put)
+                scores.append(f1)
+            return (model, state, steps), scores
 
     space = (search_space_video(args.model) if kind == "vision"
              else search_space_0d(args.model))
@@ -143,7 +155,9 @@ def main(argv=None):
         trainable, space, n_trials=args.n_trials,
         max_epochs=args.max_epochs, grace_period=args.grace_period,
         reduction_factor=args.reduction_factor, seed=args.random_seed,
-        log_path=os.path.join(args.save_dir, f"hpo_{args.model}.json"))
+        log_path=os.path.join(args.save_dir, f"hpo_{args.model}.json"),
+        n_workers=args.hpo_workers,
+        devices=jax.devices() if args.hpo_workers > 1 else None)
 
     print(f"best trial {best.trial_id}: valid F1 {best.best:.4f}")
     print(f"config: {best.config}")

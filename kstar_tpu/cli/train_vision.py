@@ -192,6 +192,18 @@ def main(argv=None):
                 _json.dump(res["summary"], f, indent=2)
             res["per_shot"].to_csv(
                 os.path.join(args.save_dir, f"{tag}_alarms.csv"), index=False)
+
+            # operational trade-off curve: detection / warning / premature
+            # rate vs threshold (one library sweep, rescored per threshold)
+            from ..eval import threshold_sweep
+            tradeoff = threshold_sweep(
+                model, state.params, state.batch_stats, store, disrupt_df,
+                test_s, seq_len=seq_len, dist=args.dist, crop_size=crop,
+                batch_size=args.batch_size, compute_dtype=dtype)
+            tradeoff.to_csv(
+                os.path.join(args.save_dir, f"{tag}_threshold_tradeoff.csv"),
+                index=False)
+            print(tradeoff.to_string(index=False))
         except Exception as e:
             print(f"alarm evaluation skipped: {e}")
 

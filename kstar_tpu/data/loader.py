@@ -76,7 +76,7 @@ def eval_batches(n: int, batch_size: int) -> Iterator[Tuple[np.ndarray, np.ndarr
 
 
 def threaded_batches(dataset, index_iter, put: Optional[Callable] = None,
-                     n_workers: int = 2, depth: int = 4):
+                     depth: int = 4):
     """Background-thread batch gathering: host window gathers (and optional
     device puts) run ahead of consumption so TPU steps never wait on IO —
     the single-process replacement for torch DataLoader workers."""

@@ -8,22 +8,26 @@ batched engine (infer/continuous.py) and aggregates:
 
   * detected     — alarm fired in [tftsrt + t_min, tipminf]
   * missed       — no alarm before the current quench
-  * premature    — alarm before flat-top settles (within t_min of startup)
+  * premature    — alarm within t_min of flat-top start (too early to be a
+                   credible precursor; a false alarm operationally)
   * warning time — tipminf - t_alarm (the reference's warning-time notion,
                    utility.py:843-853), with p50/p90 across detected shots
+
+Every entry point sweeps the whole shot library in ONE device dispatch
+(VideoSweeper.sweep_shots) and scores alarms on the host.
 """
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 import pandas as pd
 
-from ..infer.continuous import alarm_times, predict_video_shot, warning_time
+from ..infer.continuous import alarm_times, warning_time
 
 
-def evaluate_video_alarms(
+def sweep_prob_curves(
     model, params, batch_stats,
     store,                        # VideoStore
     disrupt_df: pd.DataFrame,
@@ -32,12 +36,12 @@ def evaluate_video_alarms(
     dist: int = 3,
     crop_size: int = 128,
     batch_size: int = 128,
-    threshold: float = 0.5,
-    t_min: float = 1.0,
     compute_dtype=None,
-) -> Dict:
-    """Sweep each shot, score alarms. Returns {'per_shot': DataFrame,
-    'summary': dict}."""
+) -> List[Tuple[int, object, np.ndarray, np.ndarray]]:
+    """One-dispatch library sweep -> [(shot, disrupt_row, time_x, probs)].
+
+    Padding/startup-suppression/alignment identical to predict_video_shot
+    (reference generate_prob_curve, utility.py:896-977)."""
     import jax.numpy as jnp
 
     from ..config import FPS
@@ -45,9 +49,9 @@ def evaluate_video_alarms(
 
     compute_dtype = compute_dtype or jnp.bfloat16
     shots = [s for s in shots if s in store]
+    if not shots:
+        return []
 
-    # one dispatch for the whole shot library (sweep_shots); per-shot
-    # padding/suppression/alignment identical to predict_video_shot
     sweeper = VideoSweeper(model, params, batch_stats, seq_len, crop_size,
                            batch_size, compute_dtype)
     frames_list, starts_list, metas = [], [], []
@@ -61,7 +65,7 @@ def evaluate_video_alarms(
         metas.append(r)
     probs_list = sweeper.sweep_shots(frames_list, starts_list)
 
-    rows: List[Dict] = []
+    curves = []
     for shot, r, raw in zip(shots, metas, probs_list):
         prob_full = np.concatenate([
             np.zeros(seq_len + int(r.frame_startup), np.float32),
@@ -69,10 +73,20 @@ def evaluate_video_alarms(
         ])
         probs = startup_suppression(prob_full, int(FPS * 1))
         time_x = np.arange(len(probs)) / FPS
+        curves.append((int(shot), r, time_x, probs))
+    return curves
+
+
+def score_alarms(curves, threshold: float = 0.5, t_min: float = 1.0) -> Dict:
+    """Score pre-swept probability curves at one threshold."""
+    rows: List[Dict] = []
+    for shot, r, time_x, probs in curves:
         t_alarm = alarm_times(time_x, probs, threshold, t_min)
         t_cq = float(r.tipminf)
+        tftsrt = float(r.tftsrt)
         w = warning_time(t_alarm, t_cq)
         detected = t_alarm is not None and t_alarm <= t_cq
+        premature = t_alarm is not None and t_alarm < tftsrt + t_min
         rows.append({
             "shot": int(shot),
             "t_alarm": t_alarm,
@@ -80,6 +94,7 @@ def evaluate_video_alarms(
             "warning_s": w if detected else np.nan,
             "detected": detected,
             "missed": t_alarm is None or t_alarm > t_cq,
+            "premature": premature,
             "max_prob": float(probs.max()) if len(probs) else 0.0,
         })
 
@@ -89,6 +104,7 @@ def evaluate_video_alarms(
         "n_shots": len(per_shot),
         "detected": int(per_shot.detected.sum()) if len(per_shot) else 0,
         "missed": int(per_shot.missed.sum()) if len(per_shot) else 0,
+        "premature": int(per_shot.premature.sum()) if len(per_shot) else 0,
         "detection_rate": float(per_shot.detected.mean()) if len(per_shot) else 0.0,
         "warning_p50_s": float(np.percentile(warns, 50)) if len(warns) else None,
         "warning_p90_s": float(np.percentile(warns, 90)) if len(warns) else None,
@@ -98,48 +114,51 @@ def evaluate_video_alarms(
     return {"per_shot": per_shot, "summary": summary}
 
 
+def evaluate_video_alarms(
+    model, params, batch_stats,
+    store,
+    disrupt_df: pd.DataFrame,
+    shots: Sequence[int],
+    seq_len: int = 21,
+    dist: int = 3,
+    crop_size: int = 128,
+    batch_size: int = 128,
+    threshold: float = 0.5,
+    t_min: float = 1.0,
+    compute_dtype=None,
+) -> Dict:
+    """Sweep each shot (one dispatch for the library), score alarms.
+    Returns {'per_shot': DataFrame, 'summary': dict}."""
+    curves = sweep_prob_curves(model, params, batch_stats, store, disrupt_df,
+                               shots, seq_len, dist, crop_size, batch_size,
+                               compute_dtype)
+    return score_alarms(curves, threshold, t_min)
+
+
 def threshold_sweep(
     model, params, batch_stats, store, disrupt_df, shots,
     thresholds: Sequence[float] = (0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9),
     **kw,
 ) -> pd.DataFrame:
-    """Detection rate / warning time vs alarm threshold — the operational
-    trade-off curve. Sweeps each shot ONCE and rescoring alarms per
-    threshold (probabilities are threshold-independent)."""
-    import jax.numpy as jnp
-
-    compute_dtype = kw.pop("compute_dtype", None) or jnp.bfloat16
-    seq_len = kw.pop("seq_len", 21)
-    dist = kw.pop("dist", 3)
-    crop_size = kw.pop("crop_size", 128)
-    batch_size = kw.pop("batch_size", 128)
+    """Detection rate / warning time / premature rate vs alarm threshold —
+    the operational trade-off curve. The library is swept ONCE (one device
+    dispatch via sweep_prob_curves); alarms are rescored per threshold on the
+    host (probabilities are threshold-independent)."""
     t_min = kw.pop("t_min", 1.0)
-
-    curves = []
-    for shot in shots:
-        if shot not in store:
-            continue
-        r = disrupt_df[disrupt_df.shot == shot].iloc[0]
-        frames = np.asarray(store.arrays[int(shot)])
-        time_x, probs = predict_video_shot(
-            model, params, batch_stats, frames,
-            int(r.frame_startup), int(r.frame_cutoff),
-            seq_len=seq_len, dist=dist, crop_size=crop_size,
-            batch_size=batch_size, compute_dtype=compute_dtype)
-        curves.append((float(r.tipminf), time_x, probs))
+    curves = sweep_prob_curves(
+        model, params, batch_stats, store, disrupt_df, shots,
+        seq_len=kw.pop("seq_len", 21), dist=kw.pop("dist", 3),
+        crop_size=kw.pop("crop_size", 128), batch_size=kw.pop("batch_size", 128),
+        compute_dtype=kw.pop("compute_dtype", None))
 
     rows = []
     for thr in thresholds:
-        det, warns = 0, []
-        for t_cq, time_x, probs in curves:
-            ta = alarm_times(time_x, probs, thr, t_min)
-            if ta is not None and ta <= t_cq:
-                det += 1
-                warns.append(t_cq - ta)
+        s = score_alarms(curves, thr, t_min)["summary"]
         rows.append({
             "threshold": thr,
-            "detection_rate": det / max(len(curves), 1),
-            "warning_p50_s": float(np.percentile(warns, 50)) if warns else None,
-            "n_detected": det,
+            "detection_rate": s["detection_rate"],
+            "warning_p50_s": s["warning_p50_s"],
+            "n_detected": s["detected"],
+            "n_premature": s["premature"],
         })
     return pd.DataFrame(rows)

@@ -39,24 +39,42 @@ def tp_param_shardings(params: Any, mesh: Mesh, min_size: int = 1 << 16):
     return jax.tree.map(spec, params)
 
 
+def _shard_mirrored(tree, p_shard, p_struct, rep):
+    """Place every params-shaped subtree (optimizer moments mu/nu, etc.)
+    with the params' shardings and everything else (step counts, scalars)
+    replicated. Without this, replicated Adam moments force GSPMD to
+    all-gather the sharded params (or reshard the moments) every update."""
+    def is_mirror(t):
+        try:
+            return jax.tree.structure(t) == p_struct
+        except Exception:
+            return False
+
+    def place(sub):
+        if is_mirror(sub):
+            return jax.tree.map(jax.device_put, sub, p_shard)
+        return jax.device_put(sub, rep)
+
+    if is_mirror(tree):
+        return jax.tree.map(jax.device_put, tree, p_shard)
+    return jax.tree.map(place, tree, is_leaf=is_mirror)
+
+
 def shard_state_tp(state, mesh: Mesh, min_size: int = 1 << 16):
     """Place a TrainState on the mesh: large kernels tensor-sharded, the
-    rest (incl. optimizer moments, which mirror the params' tree) matching."""
+    optimizer moments sharded to MATCH the params (they mirror the params'
+    tree structure), and everything else replicated."""
     p_shard = tp_param_shardings(state.params, mesh, min_size)
+    p_struct = jax.tree.structure(state.params)
     rep = NamedSharding(mesh, P())
 
     params = jax.tree.map(jax.device_put, state.params, p_shard)
+    opt_state = _shard_mirrored(state.opt_state, p_shard, p_struct, rep)
 
-    def put_opt(x):
-        return jax.device_put(x, rep)
-
-    # optimizer state trees mirror params where they hold moments; exact
-    # matching shardings would need tree alignment — replicating them is
-    # correct (GSPMD reshards on use) and keeps this simple
     return state.replace(
         params=params,
-        batch_stats=jax.tree.map(put_opt, state.batch_stats),
-        opt_state=jax.tree.map(put_opt, state.opt_state),
+        batch_stats=jax.tree.map(lambda x: jax.device_put(x, rep), state.batch_stats),
+        opt_state=opt_state,
         step=jax.device_put(state.step, rep),
         rng=jax.device_put(state.rng, rep),
     )

@@ -58,7 +58,7 @@ class Trial:
 
 
 def run_asha(
-    trainable: Callable[[Dict, int, Any], Tuple[Any, List[float]]],
+    trainable: Callable[..., Tuple[Any, List[float]]],
     space: Dict[str, Callable],
     n_trials: int = 16,
     max_epochs: int = 32,
@@ -66,25 +66,55 @@ def run_asha(
     reduction_factor: int = 2,
     seed: int = 42,
     log_path: Optional[str] = None,
+    n_workers: int = 1,
+    devices: Optional[List] = None,
 ) -> Tuple[Trial, List[Trial]]:
     """Synchronous successive halving.
 
     ``trainable(config, n_epochs, state)`` trains for n_epochs more (resuming
     from ``state`` if given) and returns (new_state, per-epoch scores, higher
     is better).
+
+    With ``n_workers > 1`` the trials within each rung run concurrently on a
+    thread pool (the reference's Ray Tune concurrency over GPUs,
+    hyperparameter_tuning.py:527-546); if ``devices`` is given, trials are
+    round-robined over them and a 4-argument trainable receives its device
+    as ``trainable(config, n_epochs, state, device)`` — on an 8-device CPU
+    or multi-chip mesh each trial then trains on its own device.
     """
+    import inspect
+
     rng = np.random.default_rng(seed)
     trials = [Trial(i, sample_config(space, rng)) for i in range(n_trials)]
+
+    takes_device = len(inspect.signature(trainable).parameters) >= 4
+
+    def advance(t: Trial, add: int, device) -> None:
+        if takes_device:
+            t.state, scores = trainable(t.config, add, t.state, device)
+        else:
+            t.state, scores = trainable(t.config, add, t.state)
+        t.scores.extend(scores)
+        t.epochs_done += add
 
     rung_budget = grace_period
     alive = list(trials)
     while alive:
-        for t in alive:
-            add = min(rung_budget, max_epochs) - t.epochs_done
-            if add > 0:
-                t.state, scores = trainable(t.config, add, t.state)
-                t.scores.extend(scores)
-                t.epochs_done += add
+        jobs = [(t, min(rung_budget, max_epochs) - t.epochs_done)
+                for t in alive]
+        jobs = [(t, add) for t, add in jobs if add > 0]
+        if n_workers > 1 and len(jobs) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            devs = devices or [None]
+            with ThreadPoolExecutor(max_workers=n_workers) as ex:
+                futs = [ex.submit(advance, t, add, devs[i % len(devs)])
+                        for i, (t, add) in enumerate(jobs)]
+                for f in futs:
+                    f.result()
+        else:
+            for i, (t, add) in enumerate(jobs):
+                advance(t, add, (devices or [None])[i % len(devices or [None])])
         if rung_budget >= max_epochs or len(alive) == 1:
             break
         alive.sort(key=lambda t: t.best, reverse=True)

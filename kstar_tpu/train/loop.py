@@ -167,30 +167,36 @@ def _loss_aux(loss_cfg: LossConfig, cls_counts: np.ndarray, epoch: int, num_epoc
 
 def run_train_epoch(train_step, state, dataset, batch_size, rng, weight, m_list,
                     gb_w, sampler=None, put=None, prefetch=True):
-    from ..data.loader import epoch_batches, threaded_batches
+    """One training epoch, fully pipelined: batches are gathered (and put on
+    device) ahead of consumption, and per-step losses/preds stay ON DEVICE —
+    the host fetches them once at epoch end, so step N+1 dispatches while
+    step N runs (a per-step ``float(loss)`` costs one host round-trip per
+    step — ~25 ms through the axon relay, more than a ViViT step itself)."""
+    from ..data.loader import epoch_batches, prefetch_to_device, threaded_batches
 
-    losses, n_samples = 0.0, 0
-    all_preds, all_labels = [], []
+    n_samples = 0
+    dev_losses, dev_preds, all_labels = [], [], []
     idx_iter = epoch_batches(len(dataset), batch_size, rng, sampler=sampler)
     if prefetch:
         # background host gather (+ device put) overlaps TPU compute
         batch_iter = threaded_batches(dataset, idx_iter, put)
     else:
-        def _plain():
+        def _host():
             for idx in idx_iter:
-                item = dataset.batch(idx)
-                yield put(item) if put is not None else item
-        batch_iter = _plain()
+                yield dataset.batch(idx)
+        batch_iter = (prefetch_to_device(_host(), put) if put is not None
+                      else _host())
     for batch, labels in batch_iter:
         state, loss, preds = train_step(state, batch, jnp.asarray(labels),
                                         weight, m_list, gb_w)
-        losses += float(loss)
+        dev_losses.append(loss)
+        dev_preds.append(preds)
         n_samples += batch_size
-        all_preds.append(np.asarray(preds))
         all_labels.append(np.asarray(labels))
     if n_samples == 0:
         return state, 0.0, 0.0, 0.0
-    preds = np.concatenate(all_preds)
+    losses = float(jnp.sum(jnp.stack(dev_losses)))   # single host sync
+    preds = np.concatenate([np.asarray(p) for p in dev_preds])
     labels = np.concatenate(all_labels)
     return state, losses / n_samples, accuracy(labels, preds), macro_f1(labels, preds)
 
@@ -199,28 +205,33 @@ def run_eval_epoch(eval_step, state, dataset, batch_size, weight, m_list, gb_w,
                    put=None, collect_probs: bool = False):
     from ..data.loader import eval_batches
 
-    losses, n_samples = 0.0, 0
-    all_preds, all_labels, all_probs = [], [], []
+    n_samples = 0
+    dev_losses, dev_preds, dev_probs, all_labels, all_masks = [], [], [], [], []
     for idx, mask in eval_batches(len(dataset), batch_size):
         batch, labels = dataset.batch(idx)
         if put is not None:
             batch, labels = put((batch, labels))
         loss, probs, preds = eval_step(state, batch, jnp.asarray(labels),
                                        weight, m_list, gb_w, jnp.asarray(mask, jnp.float32))
-        losses += float(loss)
-        n_samples += int(mask.sum())
-        all_preds.append(np.asarray(preds)[mask])
-        all_labels.append(np.asarray(labels)[mask])
+        dev_losses.append(loss)
+        dev_preds.append(preds)
         if collect_probs:
-            all_probs.append(np.asarray(probs)[mask])
+            dev_probs.append(probs)
+        n_samples += int(mask.sum())
+        all_labels.append(np.asarray(labels))
+        all_masks.append(mask)
     if n_samples == 0:
         out = (0.0, 0.0, 0.0)
         return out + ((np.zeros((0, 2)), np.zeros((0,))),) if collect_probs else out
-    preds = np.concatenate(all_preds)
-    labels = np.concatenate(all_labels)
+    # device results fetched once after every batch is dispatched
+    losses = float(jnp.sum(jnp.stack(dev_losses)))
+    mask_all = np.concatenate(all_masks)
+    preds = np.concatenate([np.asarray(p) for p in dev_preds])[mask_all]
+    labels = np.concatenate(all_labels)[mask_all]
     res = (losses / n_samples, accuracy(labels, preds), macro_f1(labels, preds))
     if collect_probs:
-        return res + ((np.concatenate(all_probs), labels),)
+        probs_all = np.concatenate([np.asarray(p) for p in dev_probs])[mask_all]
+        return res + ((probs_all, labels),)
     return res
 
 

@@ -152,6 +152,45 @@ def show_all_frames(frames_u8: np.ndarray, n_cols: int = 8,
     return fig
 
 
+def realtime_frame_indices(n_probs: int, frame_srt: int, frame_end: int,
+                           fps: int = 210) -> list:
+    """The reference's exact non-uniform animation-frame subsampling
+    (reference visualize_application.py:279-296): every 22nd probability
+    index during flat-top, EVERY index inside the ~29-frame window before
+    ``frame_end`` (the quench), then back to every 22nd — including the
+    reference's quirk of comparing the prob-relative index against the
+    absolute ``frame_end`` (so densification only engages when the index
+    range reaches it)."""
+    idx_distance = 21
+    idx_interval = 0
+    indices = []
+    for idx in range(0, min(n_probs, frame_end - frame_srt + fps)):
+        if idx_interval > idx_distance:
+            indices.append(idx)
+            idx_interval = 1
+        else:
+            idx_interval += 1
+        if idx > frame_end - int(1.4 * fps / 10) and idx_distance > 0 and idx < frame_end:
+            idx_distance = 0
+        elif idx > frame_end and idx_distance == 0:
+            idx_distance = 21
+    return indices
+
+
+def adaptive_camera_fps(t_disrupt: float) -> int:
+    """Shot-length-adapted camera sample rate for the real-time experiment's
+    time axis (reference visualize_application.py:433-440): the camera clock
+    drifts over long shots, so the assumed fps steps down with the thermal
+    quench time."""
+    if t_disrupt < 5:
+        return 210
+    elif 5 < t_disrupt < 10:
+        return 207
+    elif 10 < t_disrupt < 15:
+        return 204
+    return 200
+
+
 def render_realtime_gif(
     frames_u8: np.ndarray,       # (T, H, W, C) shot frames (BGR)
     time_x: np.ndarray,
@@ -160,23 +199,34 @@ def render_realtime_gif(
     t_cq: float,
     save_path: str = "./results/real_time_disruption_prediction.gif",
     fps_out: int = 12,
-    max_frames: int = 240,
+    max_frames: int = 480,
     densify_near_quench: bool = True,
 ):
     """Side-by-side (camera | probability-so-far) animation via
     matplotlib FuncAnimation + PillowWriter (reference
-    visualize_application.py:310-351), with non-uniform frame subsampling
-    densified near the quench (reference :279-296)."""
+    visualize_application.py:310-351), with the reference's exact
+    non-uniform frame subsampling: every 22nd frame during flat-top, every
+    frame in the ~29-frame pre-quench window (reference :279-296,
+    index-parity-tested in tests/test_viz_xai.py)."""
     plt = _mpl()
     from matplotlib.animation import FuncAnimation, PillowWriter
 
     n = len(frames_u8)
     idx_cq = int(np.clip(np.searchsorted(time_x, t_cq), 0, n - 1))
-    if densify_near_quench and n > max_frames:
-        far = np.linspace(0, max(idx_cq - 100, 1), max_frames // 2, dtype=int)
-        near = np.arange(max(idx_cq - 100, 0), min(idx_cq + 20, n),
-                         dtype=int)[: max_frames // 2]
-        sel = np.unique(np.concatenate([far, near]))
+    if densify_near_quench:
+        sel = np.asarray(realtime_frame_indices(n, 0, idx_cq), dtype=int)
+        if len(sel) == 0:
+            sel = np.arange(min(n, max_frames))
+        elif len(sel) > max_frames:
+            # safety cap: thin the flat-top stretch, keep the dense window
+            dense = sel[sel > idx_cq - 32]
+            sparse = sel[sel <= idx_cq - 32]
+            if len(sparse):
+                keep = np.linspace(0, len(sparse) - 1,
+                                   max(max_frames - len(dense), 2), dtype=int)
+                sel = np.unique(np.concatenate([sparse[keep], dense]))
+            else:
+                sel = dense[:max_frames]
     else:
         sel = np.arange(min(n, max_frames))
 

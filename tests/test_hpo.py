@@ -78,3 +78,42 @@ class TestOrbaxCheckpoint:
         s2 = load_checkpoint_orbax(s, path)
         for a, b in zip(jax.tree.leaves(s.params), jax.tree.leaves(s2.params)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestParallelASHA:
+    def test_parallel_matches_serial_and_spreads_devices(self):
+        import jax
+        import time
+
+        seen_devices = []
+
+        def trainable(config, n_epochs, state, device=None):
+            seen_devices.append(device)
+            done = state or 0
+            time.sleep(0.02)
+            scores = [config["quality"] * (1 - 0.5 ** (done + e + 1))
+                      for e in range(n_epochs)]
+            return done + n_epochs, scores
+
+        def trainable_serial(config, n_epochs, state):
+            done = state or 0
+            scores = [config["quality"] * (1 - 0.5 ** (done + e + 1))
+                      for e in range(n_epochs)]
+            return done + n_epochs, scores
+
+        space = {"quality": uniform(0.1, 1.0)}
+        best_s, trials_s = run_asha(trainable_serial, space, n_trials=8,
+                                    max_epochs=8, grace_period=2,
+                                    reduction_factor=2, seed=0)
+        best_p, trials_p = run_asha(trainable, space, n_trials=8, max_epochs=8,
+                                    grace_period=2, reduction_factor=2, seed=0,
+                                    n_workers=4, devices=jax.devices())
+
+        assert best_p.config == best_s.config
+        for a, b in zip(trials_s, trials_p):
+            assert a.scores == b.scores and a.epochs_done == b.epochs_done
+        # trials actually spread over devices
+        if len(jax.devices()) > 1:
+            assert len({str(d) for d in seen_devices if d is not None}) > 1
+        # halving demonstrated: at least two distinct rung budgets
+        assert len({t.epochs_done for t in trials_p}) >= 2

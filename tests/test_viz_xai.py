@@ -88,3 +88,50 @@ class TestProbCurvePlots:
         out = render_realtime_gif(s.frames[:40], t, p, s.shot, s.tipminf,
                                   save_path=str(tmp_path / "rt.gif"), max_frames=10)
         assert (tmp_path / "rt.gif").exists()
+
+
+class TestRealtimeGifParity:
+    """Index parity with the reference's animation subsampling loop
+    (reference visualize_application.py:279-296) and fps adaptation
+    (:433-440)."""
+
+    @staticmethod
+    def _reference_indices(n_probs, frame_srt, frame_end, fps):
+        # verbatim transliteration of reference visualize_application.py:279-296
+        idx_distance = 21
+        idx_interval = 0
+        indices = []
+        for idx in range(0, min(n_probs, frame_end - frame_srt + fps)):
+            if idx_interval > idx_distance:
+                indices.append(idx)
+                idx_interval = 1
+            else:
+                idx_interval += 1
+            if idx > frame_end - int(1.4 * fps / 10) and idx_distance > 0 and idx < frame_end:
+                idx_distance = 0
+            elif idx > frame_end and idx_distance == 0:
+                idx_distance = 21
+        return indices
+
+    def test_index_parity(self):
+        from kstar_tpu.viz.prob_curve import realtime_frame_indices
+
+        for n_probs, srt, end, fps in [(4096, 0, 3800, 210), (2048, 128, 1900, 210),
+                                       (900, 0, 700, 210), (5000, 0, 4500, 200),
+                                       (50, 0, 40, 210)]:
+            got = realtime_frame_indices(n_probs, srt, end, fps)
+            ref = self._reference_indices(n_probs, srt, end, fps)
+            assert got == ref, (n_probs, srt, end, fps)
+        # densification engages: every index in the pre-quench window
+        sel = realtime_frame_indices(4096, 0, 3800, 210)
+        dense = [i for i in sel if 3800 - 25 < i < 3800]
+        assert dense == list(range(dense[0], dense[-1] + 1))
+
+    def test_adaptive_fps(self):
+        from kstar_tpu.viz.prob_curve import adaptive_camera_fps
+
+        # reference visualize_application.py:433-440
+        assert adaptive_camera_fps(3.0) == 210
+        assert adaptive_camera_fps(7.0) == 207
+        assert adaptive_camera_fps(12.0) == 204
+        assert adaptive_camera_fps(20.0) == 200
