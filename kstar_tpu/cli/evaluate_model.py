@@ -18,8 +18,14 @@ def build_parser() -> argparse.ArgumentParser:
     from .common import add_common_args
 
     p = argparse.ArgumentParser(description="evaluate a trained disruption predictor")
-    p.add_argument("--kind", type=str, default="0D", choices=["0D", "vision"])
+    p.add_argument("--kind", type=str, default="0D", choices=["0D", "vision", "multimodal"])
     p.add_argument("--model", type=str, default="Transformer")
+    # multimodal reload args (mirror cli/train_multimodal.py)
+    p.add_argument("--model_type", type=str, default="concat", choices=["concat", "TFN"])
+    p.add_argument("--use_GB", action="store_true")
+    p.add_argument("--tau", type=int, default=1)
+    p.add_argument("--ts_layers", type=int, default=4)
+    p.add_argument("--ts_heads", type=int, default=8)
     p.add_argument("--tag", type=str, required=False, default=None)
     p.add_argument("--which", type=str, default="best", choices=["best", "last"])
     add_common_args(p, batch_size=128)
@@ -60,7 +66,11 @@ def main(argv=None):
     from .common import configs_from_args, load_data, make_tag
 
     train_cfg, loss_cfg, optim_cfg = configs_from_args(args)
-    tag = args.tag or make_tag(args.model, args, loss_cfg, train_cfg)
+    name = args.model
+    if args.kind == "multimodal":
+        # train_multimodal tags checkpoints by fusion type, not backbone name
+        name = f"{args.model_type}{'_GB' if args.use_GB else ''}"
+    tag = args.tag or make_tag(name, args, loss_cfg, train_cfg)
     ckpt = os.path.join(args.weight_dir, f"{tag}_{args.which}.ckpt")
     if not os.path.exists(ckpt):
         raise FileNotFoundError(f"checkpoint not found: {ckpt}")
@@ -95,6 +105,77 @@ def main(argv=None):
                                        "test": test_ds}, loss_cfg,
                         batch_size=args.batch_size, threshold=args.threshold,
                         save_csv=os.path.join(args.save_dir, f"{tag}_detail.csv"))
+        return results
+
+    # --- multimodal ---------------------------------------------------------
+    if args.kind == "multimodal":
+        # Reload path for cli/train_multimodal.py checkpoints. Pass the SAME
+        # model-hparam flags used at training time (defaults here mirror the
+        # vision CLI; the multimodal trainer defaults differ for n_heads /
+        # scale_dim / dim_feedforward).
+        from ..config import DT_MULTI, AugmentConfig
+        from ..data import MultiModalDataset, Scaler, random_split_shots
+        from ..data.device_pipe import DevicePreprocessor
+        from ..eval.evaluate import evaluate_probs, format_report
+        from ..losses import ldam_margins
+        from ..models import TFN, MultiModalConcat, MultiModalGB, TFNGB
+        from ..train import create_train_state, load_checkpoint
+        from ..train.loop import make_eval_step, run_eval_epoch
+        from .common import load_data
+
+        cols = Schema.INPUT_FEATURES
+        test_shot = None if args.synthetic else args.test_shot_num
+        dt = DT_MULTI if not args.synthetic else 4.0 / 210.0
+        disrupt_df, ts_df, store = load_data(args, need_video=True, dt=dt)
+        shots = sorted(store.arrays.keys())
+        train_s, valid_s, test_s = random_split_shots(shots, test_shot, seed=42)
+
+        scaler = Scaler(args.scaler)
+        scaler.fit(ts_df[ts_df.shot.isin(train_s)][cols].values)
+        test_ds = MultiModalDataset(store, ts_df, disrupt_df, cols, test_s,
+                                    seq_len=args.seq_len, dist=args.dist,
+                                    dt=dt, tau=args.tau, scaler=scaler)
+
+        dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
+        crop = min(args.image_size, store.arrays[shots[0]].shape[1])
+        vivit_kw = dict(image_size=crop, patch_size=args.patch_size,
+                        n_frames=args.seq_len, dim=args.dim, depth=args.depth,
+                        n_heads=args.n_heads, d_head=args.d_head,
+                        scale_dim=args.scale_dim, dropout=args.dropout,
+                        embedd_dropout=args.dropout)
+        ts_kw = dict(n_features=len(cols), feature_dims=args.feature_dims,
+                     max_len=args.seq_len, n_layers=args.ts_layers,
+                     n_heads=args.ts_heads,
+                     dim_feedforward=args.dim_feedforward,
+                     dropout=args.dropout, cls_dims=128)
+        if args.model_type == "concat":
+            model = (MultiModalGB if args.use_GB else MultiModalConcat)(
+                vivit_kwargs=vivit_kw, ts_kwargs=ts_kw, dtype=dtype)
+        else:
+            model = (TFNGB if args.use_GB else TFN)(
+                vivit_kwargs=vivit_kw, ts_kwargs=ts_kw, dtype=dtype)
+
+        put_eval = DevicePreprocessor(crop, AugmentConfig(), train=False,
+                                      out_dtype=dtype)
+        b0, _ = put_eval(test_ds.batch(np.arange(min(8, len(test_ds)))))
+        state = create_train_state(model, None, jax.random.key(0), optim_cfg,
+                                   apply_args=(b0["video"], b0["0D"]))
+        state = load_checkpoint(state, ckpt)
+
+        model_type = "multi-GB" if args.use_GB else "multi"
+        eval_step = make_eval_step(model, loss_cfg, model_type)
+        counts = test_ds.class_counts()
+        w = jnp.ones(2)
+        m = jnp.asarray(ldam_margins(counts, loss_cfg.ldam_max_m))
+        gb = jnp.asarray([0.0, 0.0, 1.0])
+        _, _, _, (probs, labels) = run_eval_epoch(
+            eval_step, state, test_ds, args.batch_size, w, m, gb,
+            put=put_eval, collect_probs=True)
+        results = evaluate_probs(probs, labels, args.threshold)
+        os.makedirs(args.save_dir, exist_ok=True)
+        with open(os.path.join(args.save_dir, f"{tag}_eval_report.txt"), "w") as f:
+            f.write(format_report(results))
+        print(f"test macro-F1 {results['macro_f1']:.4f} | ROC-AUC {results['roc_auc']:.4f}")
         return results
 
     # --- vision -------------------------------------------------------------

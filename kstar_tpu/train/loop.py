@@ -313,8 +313,9 @@ def fit(
                     writer.figure("eval/valid", fig, epoch)
                     import matplotlib.pyplot as plt
                     plt.close(fig)
-                except Exception:
-                    pass
+                except Exception as e:  # figure emission is best-effort,
+                    # but a broken pipeline must surface in the logs
+                    print(f"[fit] eval figure emission failed: {type(e).__name__}: {e}")
         if stopper and stopper.should_stop:
             print(f"early stopping at epoch {epoch+1}")
             break

@@ -68,22 +68,58 @@ def make_optimizer(cfg: OptimConfig, steps_per_epoch: int = 1) -> optax.Gradient
 
 
 def create_train_state(model, sample_batch, rng: jax.Array, optim_cfg: OptimConfig,
-                       steps_per_epoch: int = 1, apply_args: Optional[tuple] = None) -> TrainState:
-    """Initialize variables with a sample batch and build the optimizer."""
+                       steps_per_epoch: int = 1, apply_args: Optional[tuple] = None,
+                       init_on_cpu: Optional[bool] = None) -> TrainState:
+    """Initialize variables with a sample batch and build the optimizer.
+
+    By default ``model.init`` runs on the host CPU backend and the variables
+    are transferred to the accelerator once: the init program is pure setup
+    (never reused), and compiling it through a remote TPU compiler costs
+    60-180 s cold vs seconds on the local CPU (PERFORMANCE.md). Pass
+    ``init_on_cpu=False`` to init on the default backend instead.
+    """
     init_rng, noise_rng, drop_rng, state_rng = jax.random.split(rng, 4)
     args = apply_args if apply_args is not None else (sample_batch,)
-    variables = model.init(
-        {"params": init_rng, "noise": noise_rng, "dropout": drop_rng},
-        *args, train=False,
-    )
+    if init_on_cpu is None:
+        init_on_cpu = jax.default_backend() != "cpu"
+    cpu = None
+    if init_on_cpu:
+        try:
+            cpu = jax.local_devices(backend="cpu")[0]
+        except RuntimeError:
+            init_on_cpu = False
+    tx = make_optimizer(optim_cfg, steps_per_epoch)
+    if init_on_cpu:
+        # Pull committed-device args/rngs back to host so the init stays on
+        # the CPU backend, run it EAGERLY at batch 1 (params are batch-size
+        # independent; eager skips the big init-graph compile: measured
+        # 16 s vs 45 s jitted-CPU vs 60-180 s remote-TPU), init the
+        # optimizer state on host too (eager zeros_like per param would
+        # otherwise remote-compile per op), and ship everything over once.
+        host = lambda x: jax.device_put(jax.device_get(x), cpu)
+        rngs = {"params": host(init_rng), "noise": host(noise_rng),
+                "dropout": host(drop_rng)}
+        host_args = jax.tree.map(
+            lambda x: jax.device_put(jax.device_get(x)[:1], cpu)
+            if isinstance(x, jax.Array) and x.ndim > 0 else x, args)
+        with jax.default_device(cpu), jax.disable_jit():
+            variables = model.init(rngs, *host_args, train=False)
+            opt_state = tx.init(variables["params"])
+        variables, opt_state = jax.device_put((variables, opt_state),
+                                              jax.devices()[0])
+    else:
+        variables = model.init(
+            {"params": init_rng, "noise": noise_rng, "dropout": drop_rng},
+            *args, train=False,
+        )
+        opt_state = tx.init(variables["params"])
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
-    tx = make_optimizer(optim_cfg, steps_per_epoch)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
         batch_stats=batch_stats,
-        opt_state=tx.init(params),
+        opt_state=opt_state,
         rng=state_rng,
         tx=tx,
     )

@@ -84,3 +84,30 @@ class TestModelSummary:
                                                        seq_len=6, lstm_dim=4))
         text = model_summary(m, jnp.zeros((1, 6, 4)), depth=2)
         assert "MLSTMFCN" in text
+
+
+class TestCpuInit:
+    def test_forced_cpu_init_matches_default(self):
+        """The init-on-CPU fast path (batch-1 slice, eager init, single
+        transfer) must produce the same param tree structure/shapes and the
+        same values as the default path (same rng)."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from kstar_tpu.config import OptimConfig, TransformerConfig
+        from kstar_tpu.models import build_0d_model
+        from kstar_tpu.train import create_train_state
+
+        m = build_0d_model("Transformer", TransformerConfig(
+            n_features=4, feature_dims=16, max_len=6, n_layers=1, n_heads=2,
+            dim_feedforward=32, cls_dims=8))
+        x = jnp.asarray(np.random.default_rng(0).normal(size=(8, 6, 4)),
+                        jnp.float32)
+        rng = jax.random.key(7)
+        st_cpu = create_train_state(m, x, rng, OptimConfig(), init_on_cpu=True)
+        st_def = create_train_state(m, x, rng, OptimConfig(), init_on_cpu=False)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6),
+            jax.device_get(st_cpu.params), jax.device_get(st_def.params))
+        assert jax.tree.structure(st_cpu.opt_state) == jax.tree.structure(st_def.opt_state)

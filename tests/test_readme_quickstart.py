@@ -8,6 +8,34 @@ import sys
 import pytest
 
 
+def test_multimodal_eval_reload(tmp_path):
+    """train_multimodal -> evaluate_model --kind multimodal must reproduce the
+    training-run test metrics from the reloaded checkpoint."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    hparams = ["--synthetic", "--batch_size", "8", "--seq_len", "10",
+               "--dim", "16", "--depth", "1", "--n_heads", "2", "--d_head", "8",
+               "--scale_dim", "2", "--image_size", "64", "--feature_dims", "16",
+               "--ts_layers", "1", "--ts_heads", "2", "--dim_feedforward", "32",
+               "--weight_dir", str(tmp_path / "w"), "--save_dir", str(tmp_path / "r")]
+    train = subprocess.run(
+        [sys.executable, "-m", "kstar_tpu.cli.train_multimodal",
+         "--model_type", "concat", "--num_epoch", "1", "--skip_extras",
+         "--verbose", "0"] + hparams,
+        capture_output=True, text=True, timeout=600, cwd=root, env=env)
+    assert train.returncode == 0, train.stderr[-2000:]
+    f1_line = [l for l in train.stdout.splitlines() if "test macro-F1" in l]
+    assert f1_line
+
+    ev = subprocess.run(
+        [sys.executable, "-m", "kstar_tpu.cli.evaluate_model",
+         "--kind", "multimodal", "--model_type", "concat"] + hparams,
+        capture_output=True, text=True, timeout=600, cwd=root, env=env)
+    assert ev.returncode == 0, ev.stderr[-2000:]
+    ev_line = [l for l in ev.stdout.splitlines() if "test macro-F1" in l]
+    assert ev_line and ev_line[0] == f1_line[0]
+
+
 def test_quickstart_0d_command(tmp_path):
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     cmd = [sys.executable, "-m", "kstar_tpu.cli.train_0d", "--model", "MLSTM_FCN",
