@@ -6,9 +6,13 @@ HBM-resident shot, subtracts the channel mean, and casts to bf16
 HBM round-trip for the f32 intermediate. This kernel streams each window's
 frames HBM -> VMEM by async DMA using scalar-prefetched start indices
 (pltpu.PrefetchScalarGridSpec), normalizes in VMEM, and writes bf16 —
-one pass over memory, ~3x less HBM traffic.
+one pass over memory.
 
-Fallback ``gather_normalize_xla`` keeps identical semantics.
+Mosaic constraints shape the layout: HBM slices must cover whole tiles, so
+frames are viewed as (T, H, W*C) — the minor dim W*C must be a multiple of
+128 lanes and H a multiple of 8 sublanes (true for the 128px crop:
+384 = 3x128). ``supports_shape`` reports eligibility; callers fall back to
+``gather_normalize_xla`` otherwise.
 """
 
 from __future__ import annotations
@@ -33,9 +37,16 @@ def gather_normalize_xla(frames_u8, starts, seq_len: int,
     return (win.astype(jnp.float32) - mean).astype(out_dtype)
 
 
+def supports_shape(h: int, w: int, c: int = 3) -> bool:
+    """Mosaic HBM-slice tiling: minor dim (w*c) must fill 128-lane tiles and
+    h must fill 8-sublane tiles."""
+    return (w * c) % 128 == 0 and h % 8 == 0
+
+
 def _window_kernel(starts_ref, frames_hbm, o_ref, scratch, sem, *, seq_len: int,
                    n_frames: int):
-    """Grid step = one window: DMA its frames HBM->VMEM, normalize, emit."""
+    """Grid step = one window: DMA its frames HBM->VMEM, normalize, emit.
+    frames_hbm is (T, H, W*C); channel of flat index j is j % 3."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -51,9 +62,10 @@ def _window_kernel(starts_ref, frames_hbm, o_ref, scratch, sem, *, seq_len: int,
 
     jax.lax.fori_loop(0, seq_len, body, 0)
 
-    x = scratch[...].astype(jnp.float32)
+    # Mosaic has no direct uint8->f32 cast; hop through int32
+    x = scratch[...].astype(jnp.int32).astype(jnp.float32)
     # channel mean built from iota (pallas kernels cannot capture constants)
-    c = jax.lax.broadcasted_iota(jnp.int32, x.shape, dimension=3)
+    c = jax.lax.broadcasted_iota(jnp.int32, x.shape, dimension=2) % 3
     mean = jnp.where(c == 0, PIXEL_MEAN_BGR[0],
                      jnp.where(c == 1, PIXEL_MEAN_BGR[1], PIXEL_MEAN_BGR[2]))
     o_ref[0] = (x - mean).astype(o_ref.dtype)
@@ -62,21 +74,23 @@ def _window_kernel(starts_ref, frames_hbm, o_ref, scratch, sem, *, seq_len: int,
 def gather_normalize_pallas(frames_u8, starts, seq_len: int,
                             out_dtype=jnp.bfloat16,
                             interpret: bool = False) -> jnp.ndarray:
-    """Pallas window gather + normalize. frames (T,H,W,C) uint8, starts (B,)."""
+    """Pallas window gather + normalize. frames (T,H,W,C) uint8, starts (B,).
+    Requires ``supports_shape(H, W, C)`` (128px crop qualifies)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     T, H, W, C = frames_u8.shape
     B = starts.shape[0]
+    flat = frames_u8.reshape(T, H, W * C)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],   # frames stay in HBM
-        out_specs=pl.BlockSpec((1, seq_len, H, W, C), lambda b, *_: (b, 0, 0, 0, 0),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],   # frames stay in HBM
+        out_specs=pl.BlockSpec((1, seq_len, H, W * C), lambda b, *_: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((seq_len, H, W, C), jnp.uint8),
+            pltpu.VMEM((seq_len, H, W * C), jnp.uint8),
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -84,8 +98,8 @@ def gather_normalize_pallas(frames_u8, starts, seq_len: int,
     kernel = functools.partial(_window_kernel, seq_len=seq_len, n_frames=T)
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((B, seq_len, H, W, C), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((B, seq_len, H, W * C), out_dtype),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(starts.astype(jnp.int32), frames_u8)
-    return out
+    )(starts.astype(jnp.int32), flat)
+    return out.reshape(B, seq_len, H, W, C)
