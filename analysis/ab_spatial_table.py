@@ -73,13 +73,22 @@ def main():
 
     flops = SEQ_LEN * T * 65 * (2 * (128 * 768 + 256 * 128 + 128 * 1024 * 2)
                                 + 2 * 2 * 65 * 64 * 4) * 2
+    weights_pad = extract_spatial_weights(params, SEQ_LEN, pad_d_head=128,
+                                          n_heads=4, d_head=64)
+
     modes = sys.argv[3].split(",") if len(sys.argv) > 3 else ["batched"]
     for mode in modes:
         mode, _, skips = mode.partition("/")
         skip = tuple(skips.split("+")) if skips else ()
-        t_pal, v2 = timed(lambda t: spatial_table(
-            t, weights, SEQ_LEN, block_f=block_f, attn_mode=mode,
-            debug_skip=skip), tokens65)
+        if mode == "padheads":
+            t_pal, v2 = timed(lambda t: spatial_table(
+                t, weights_pad, SEQ_LEN, d_head=128, scale=64 ** -0.5,
+                block_f=block_f, attn_mode="batched", debug_skip=skip),
+                tokens65)
+        else:
+            t_pal, v2 = timed(lambda t: spatial_table(
+                t, weights, SEQ_LEN, block_f=block_f, attn_mode=mode,
+                debug_skip=skip), tokens65)
         print(f"pallas[{mode:13s}{'/'+skips if skips else '':9s}] : {t_pal*1e3:8.1f} ms  (sum {v2:.1f})  "
               f"block_f={block_f}  {t_xla/t_pal:.2f}x  "
               f"{flops/t_pal/1e12:.1f} TF/s ({flops/t_pal/197e12*100:.0f}% peak)")

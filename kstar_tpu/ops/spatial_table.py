@@ -72,10 +72,16 @@ def find_spatial_params(params):
 
 
 def extract_spatial_weights(params, n_offsets: int, depth: int = 2,
-                            dtype=jnp.bfloat16) -> SpatialWeights:
+                            dtype=jnp.bfloat16, pad_d_head: int = 0,
+                            n_heads: int = 4, d_head: int = 64) -> SpatialWeights:
     """Pull the spatial-transformer weights out of a ViViT params tree
     (models/vivit.py layout, located anywhere in the tree) into the kernel's
-    flat bundle."""
+    flat bundle.
+
+    pad_d_head > 0 re-lays w_qkv/w_out with each head slot zero-padded from
+    d_head to pad_d_head lanes, so the kernel's per-head q/k/v slices land
+    on 128-lane tile boundaries (pass pad_d_head as ``d_head`` and the true
+    ``scale = d_head**-0.5`` to ``spatial_table``)."""
     enc = find_spatial_params(params)
     if enc is None:
         raise KeyError("no ViViT spatial transformer found in params tree")
@@ -90,14 +96,31 @@ def extract_spatial_weights(params, n_offsets: int, depth: int = 2,
 
     c = lambda x: jnp.asarray(x, dtype)
     f = lambda x: jnp.asarray(x, jnp.float32)
+
+    def pad_heads_qkv(w):
+        """(D, 3*h*dh) -> (D, 3*h*pad): zero-extend each head's q/k/v slot."""
+        D_ = w.shape[0]
+        w5 = w.reshape(D_, 3, n_heads, d_head)
+        w5 = jnp.pad(w5, ((0, 0), (0, 0), (0, 0), (0, pad_d_head - d_head)))
+        return w5.reshape(D_, 3 * n_heads * pad_d_head)
+
+    def pad_heads_out(w):
+        """(h*dh, D) -> (h*pad, D): zero rows for the padded v lanes."""
+        D_ = w.shape[1]
+        w3 = w.reshape(n_heads, d_head, D_)
+        w3 = jnp.pad(w3, ((0, 0), (0, pad_d_head - d_head), (0, 0)))
+        return w3.reshape(n_heads * pad_d_head, D_)
+
+    pq = pad_heads_qkv if pad_d_head else (lambda w: w)
+    po = pad_heads_out if pad_d_head else (lambda w: w)
     return SpatialWeights(
         base=base,
         ln_a_s=tuple(f(g(f"attn_norm_{d}", "scale"))[None] for d in range(depth)),
         ln_a_b=tuple(f(g(f"attn_norm_{d}", "bias"))[None] for d in range(depth)),
-        w_qkv=tuple(c(st[f"attn_{d}"]["to_qkv"]["kernel"]) for d in range(depth)),
+        w_qkv=tuple(c(pq(st[f"attn_{d}"]["to_qkv"]["kernel"])) for d in range(depth)),
         ln_f_s=tuple(f(g(f"ff_norm_{d}", "scale"))[None] for d in range(depth)),
         ln_f_b=tuple(f(g(f"ff_norm_{d}", "bias"))[None] for d in range(depth)),
-        w_out=tuple(c(st[f"attn_{d}"]["to_out"]["kernel"]) for d in range(depth)),
+        w_out=tuple(c(po(st[f"attn_{d}"]["to_out"]["kernel"])) for d in range(depth)),
         b_out=tuple(c(st[f"attn_{d}"]["to_out"]["bias"])[None] for d in range(depth)),
         w_ff1=tuple(c(st[f"ff1_{d}"]["kernel"]) for d in range(depth)),
         b_ff1=tuple(c(st[f"ff1_{d}"]["bias"])[None] for d in range(depth)),
@@ -122,8 +145,13 @@ def _attention(qkv, n_heads: int, d_head: int, scale: float, compute_dtype,
                       once the 16x softmax waste is counted)
       none          — skip attention (profiling ceiling; NOT exact)
 
-    (heads-in-batch and frame-pair packing variants crashed the Mosaic
-    compiler on their cross-batch reshapes and were removed)
+    Frame-packing modes ('paired'/'packedN', handled by _attention_packed
+    on a flat tile-aligned layout, selected in spatial_table) pack g frames
+    per 128-lane tile with a block-diagonal mask; measured on-chip they LOSE
+    to batched (192.9/233.4 vs 187.9 ms — see PERFORMANCE.md): the padded
+    65-token attention is row-streaming/softmax-bound, not lane-bound.
+    'padheads' (extract_spatial_weights pad_d_head=128) confirmed the same.
+    (heads-in-batch reshapes crash the Mosaic compiler and were removed.)
     """
     F, N, _ = qkv.shape
     inner = n_heads * d_head
@@ -175,6 +203,57 @@ def _attention(qkv, n_heads: int, d_head: int, scale: float, compute_dtype,
     raise ValueError(f"unknown attn_mode {mode!r}")
 
 
+def _pack_group(mode: str) -> int:
+    """Frames packed per attention group: 'paired'/'packedN' modes, else 0."""
+    if mode == "paired":
+        return 2
+    if mode.startswith("packed"):
+        return int(mode[len("packed"):])
+    return 0
+
+
+def _attention_packed(qkv_flat, n_groups: int, g: int, n_row: int, n_tok: int,
+                      n_heads: int, d_head: int, scale: float, compute_dtype):
+    """Packed-frame attention on the flat layout.
+
+    ``qkv_flat`` is (n_groups * g*n_row, 3*inner) where each g*n_row slab
+    holds g frames padded from n_tok to n_row rows (n_row % 8 == 0 keeps
+    every slice tile-aligned). Per group x head the score matmul is a plain
+    2D dot with a block-diagonal mask — g x wasted FLOPs (cross-frame
+    blocks + pad keys masked to -inf) traded for fewer, larger matmuls
+    that Mosaic streams better than batched dots.
+    """
+    inner = n_heads * d_head
+    Ng = g * n_row
+    rq = jax.lax.broadcasted_iota(jnp.int32, (Ng, Ng), 0)
+    rk = jax.lax.broadcasted_iota(jnp.int32, (Ng, Ng), 1)
+    valid = (rq // n_row == rk // n_row) & (rk % n_row < n_tok)
+
+    outs = []
+    for p in range(n_groups):
+        sl_lo = p * Ng
+        houts = []
+        for hh in range(n_heads):
+            q = qkv_flat[sl_lo:sl_lo + Ng, hh * d_head:(hh + 1) * d_head]
+            k = qkv_flat[sl_lo:sl_lo + Ng,
+                         inner + hh * d_head:inner + (hh + 1) * d_head]
+            v = qkv_flat[sl_lo:sl_lo + Ng,
+                         2 * inner + hh * d_head:2 * inner + (hh + 1) * d_head]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale        # (Ng, Ng)
+            s = jnp.where(valid, s, -1e30)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m)
+            pm = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(compute_dtype)
+            o = jax.lax.dot_general(
+                pm, v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)                # (Ng, dh)
+            houts.append(o.astype(compute_dtype))
+        outs.append(jnp.concatenate(houts, axis=-1))               # (Ng, inner)
+    return jnp.concatenate(outs, axis=0)            # (n_groups*Ng, inner)
+
+
 def _layer_norm(x32, scale, bias, eps=1e-6):
     """flax.linen.LayerNorm semantics in f32 (mean-of-squares variance)."""
     mean = jnp.mean(x32, axis=-1, keepdims=True)
@@ -186,11 +265,18 @@ def _layer_norm(x32, scale, bias, eps=1e-6):
 
 def _kernel(tokens_ref, base_ref, *w_refs,
             out_ref, depth: int, n_offsets: int, n_heads: int, d_head: int,
-            compute_dtype, attn_mode: str = "batched", debug_skip: tuple = ()):
-    """One grid step: F frames x all offsets, everything in VMEM."""
+            compute_dtype, attn_mode: str = "batched", debug_skip: tuple = (),
+            n_tok: int = 65, n_row: int = 0, scale: float = None):
+    """One grid step: F frames x all offsets, everything in VMEM.
+
+    Packed modes ('paired'/'packedN'): tokens_ref is the packed layout
+    (n_groups, g*n_row, D) — g frames per slab, each padded n_tok -> n_row
+    rows — and out_ref is (n_offsets, n_groups, g*D) with the g frames' cls
+    side by side in the lane dim.
+    """
     F = tokens_ref.shape[0]
     D = tokens_ref.shape[2]
-    scale = d_head ** -0.5
+    scale = d_head ** -0.5 if scale is None else scale
 
     # unpack flat refs in SpatialWeights field order (minus the two bases)
     it = iter(w_refs)
@@ -237,11 +323,16 @@ def _kernel(tokens_ref, base_ref, *w_refs,
             h32 = ln(x.astype(jnp.float32), ln_a_s[d][:], ln_a_b[d][:])
             h = h32.astype(compute_dtype)
             qkv = dot2d(h, w_qkv[d][:]).astype(compute_dtype)      # (F*N, 3*inner)
-            attn = _attention(qkv.reshape(F, N, 3 * n_heads * d_head),
-                              n_heads, d_head, scale, compute_dtype,
-                              attn_mode)                           # (F, N, inner)
-            proj = dot2d(attn.reshape(F * N, n_heads * d_head),
-                         w_out[d][:]).astype(compute_dtype)
+            if _pack_group(attn_mode):
+                attn_flat = _attention_packed(
+                    qkv, F, _pack_group(attn_mode), n_row, n_tok, n_heads,
+                    d_head, scale, compute_dtype)                  # (F*N, inner)
+            else:
+                attn = _attention(qkv.reshape(F, N, 3 * n_heads * d_head),
+                                  n_heads, d_head, scale, compute_dtype,
+                                  attn_mode)                       # (F, N, inner)
+                attn_flat = attn.reshape(F * N, n_heads * d_head)
+            proj = dot2d(attn_flat, w_out[d][:]).astype(compute_dtype)
             x = x + (proj + b_out[d][:])
             f32 = ln(x.astype(jnp.float32), ln_f_s[d][:], ln_f_b[d][:])
             hf = f32.astype(compute_dtype)
@@ -251,8 +342,14 @@ def _kernel(tokens_ref, base_ref, *w_refs,
             x = x + (out2 + b_ff2[d][:])
 
         fin = ln(x.astype(jnp.float32), ln_fin_s[:], ln_fin_b[:])
-        cls = fin.reshape(F, N, D)[:, 0, :].astype(out_ref.dtype)  # (F, D)
-        out_ref[pl_ds(off, 1), :, :] = cls[None]
+        if _pack_group(attn_mode):
+            fin3 = fin.reshape(F, N, D)                            # N = g*n_row
+            for f in range(_pack_group(attn_mode)):
+                out_ref[pl_ds(off, 1), :, f * D:(f + 1) * D] = \
+                    fin3[:, f * n_row, :].astype(out_ref.dtype)[None]
+        else:
+            cls = fin.reshape(F, N, D)[:, 0, :].astype(out_ref.dtype)  # (F, D)
+            out_ref[pl_ds(off, 1), :, :] = cls[None]
         return _
 
     jax.lax.fori_loop(0, n_offsets, per_offset, None)
@@ -268,7 +365,7 @@ def spatial_table(tokens: jnp.ndarray, weights: SpatialWeights,
                   n_offsets: int, depth: int = 2, n_heads: int = 4,
                   d_head: int = 64, block_f: int = 16,
                   compute_dtype=jnp.bfloat16, attn_mode: str = "batched",
-                  debug_skip: tuple = (),
+                  debug_skip: tuple = (), scale: float = None,
                   interpret: bool = False) -> jnp.ndarray:
     """(T, N, D) zero-cls-padded patch tokens -> (n_offsets, T, D) cls table.
 
@@ -290,17 +387,65 @@ def spatial_table(tokens: jnp.ndarray, weights: SpatialWeights,
               + list(weights.w_ff1) + list(weights.b_ff1)
               + list(weights.w_ff2) + list(weights.b_ff2)
               + [weights.ln_fin_s, weights.ln_fin_b])
-    # reorder to match _kernel's unpack: fields are already grouped per type
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    g = _pack_group(attn_mode)
+    if g:
+        # Pack g frames per slab, each padded to n_row rows (multiple of 8
+        # sublanes) so every in-kernel slice/reshape stays tile-aligned:
+        # frame f < T/g groups with frames f + i*T/g, which makes the unpack
+        # a contiguous reshape+transpose. Pad rows are zero; attention masks
+        # them out and their garbage cls rows are never read back.
+        n_row = -(-n_tok // 8) * 8
+        Tg = T // g
+        block_p = max(block_f // g, 1)
+        if block_p < 8:
+            # out blocks need >= 8 sublanes (Mosaic tiling) unless full-dim
+            block_p = 8 if Tg % 8 == 0 else Tg
+        assert T % g == 0 and Tg % block_p == 0, (T, g, block_p)
+        tp = jnp.pad(tokens, ((0, 0), (0, n_row - n_tok), (0, 0)))
+        packed = jnp.concatenate([tp[i * Tg:(i + 1) * Tg] for i in range(g)],
+                                 axis=1)                    # (T/g, g*n_row, D)
+        base_p = jnp.pad(weights.base, ((0, 0), (0, n_row - n_tok), (0, 0)))
+        base_packed = jnp.concatenate([base_p] * g, axis=1)
+
+        kern = functools.partial(
+            _kernel, depth=depth, n_offsets=n_offsets, n_heads=n_heads,
+            d_head=d_head, compute_dtype=compute_dtype, attn_mode=attn_mode,
+            debug_skip=debug_skip, n_tok=n_tok, n_row=n_row, scale=scale)
+
+        def wrapped(tokens_ref, base_ref, *rest):
+            *w_refs, out_ref = rest
+            kern(tokens_ref, base_ref, *w_refs, out_ref=out_ref)
+
+        out = pl.pallas_call(
+            wrapped,
+            out_shape=jax.ShapeDtypeStruct((n_offsets, Tg, g * D), out_dtype),
+            grid=(Tg // block_p,),
+            in_specs=[
+                pl.BlockSpec((block_p, g * n_row, D), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                full(),
+            ] + [full() for _ in w_list],
+            out_specs=pl.BlockSpec((n_offsets, block_p, g * D),
+                                   lambda i: (0, i, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(packed, base_packed, *w_list)
+        # (off, T/g, g, D) -> (off, g, T/g, D) -> (off, T, D): frame
+        # f + i*T/g lives in lane-slot i
+        return (out.reshape(n_offsets, Tg, g, D)
+                .transpose(0, 2, 1, 3).reshape(n_offsets, T, D))
+
     kern = functools.partial(
         _kernel, depth=depth, n_offsets=n_offsets, n_heads=n_heads,
         d_head=d_head, compute_dtype=compute_dtype, attn_mode=attn_mode,
-        debug_skip=debug_skip)
+        debug_skip=debug_skip, scale=scale)
 
     def wrapped(tokens_ref, base_ref, *rest):
         *w_refs, out_ref = rest
         kern(tokens_ref, base_ref, *w_refs, out_ref=out_ref)
 
-    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     grid = (T // block_f,)
     return pl.pallas_call(
         wrapped,

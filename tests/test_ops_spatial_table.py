@@ -35,7 +35,8 @@ def vivit_setup():
     return model, variables, tokens
 
 
-def test_kernel_matches_spatial_cls(vivit_setup):
+@pytest.mark.parametrize("attn_mode", ["batched", "paired"])
+def test_kernel_matches_spatial_cls(vivit_setup, attn_mode):
     model, variables, tokens = vivit_setup
     vars_ = {"params": variables["params"],
              "batch_stats": variables.get("batch_stats", {})}
@@ -48,7 +49,7 @@ def test_kernel_matches_spatial_cls(vivit_setup):
     got = np.asarray(
         spatial_table(tokens5, weights, SEQ_LEN, depth=DEPTH, n_heads=HEADS,
                       d_head=DH, block_f=4, compute_dtype=jnp.float32,
-                      interpret=True), np.float32)
+                      attn_mode=attn_mode, interpret=True), np.float32)
 
     assert got.shape == ref.shape == (SEQ_LEN, T, DIM)
     np.testing.assert_allclose(got, ref, atol=2e-5, rtol=2e-5)
