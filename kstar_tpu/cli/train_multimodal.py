@@ -106,8 +106,14 @@ def main(argv=None):
     put_train = DevicePreprocessor(crop, AugmentConfig(), train=True,
                                    out_dtype=dtype, seed=args.random_seed)
     put_eval = DevicePreprocessor(crop, AugmentConfig(), train=False, out_dtype=dtype)
-    # (GB stream orchestration uses multiple step fns; keeping preprocessing
-    # as its own dispatch here — the vision CLI demonstrates the fused path)
+
+    # crop/augment/normalize fuses INTO every train/eval/stream step (one
+    # dispatch per step, like the vision CLI); the put hook only ships raw
+    # uint8 bytes + the float 0D block. Streams that ignore video get its
+    # preprocessing dead-code-eliminated from their graphs.
+    from ..data.augment import make_pre_fns
+    pre_train, pre_eval_fn = make_pre_fns(crop, AugmentConfig(), out_dtype=dtype)
+    put_raw = lambda bl: (jax.tree.map(jnp.asarray, bl[0]), jnp.asarray(bl[1]))
 
     b0, _ = put_eval(train_ds.batch(np.arange(min(args.batch_size, len(train_ds)))))
     steps = max(len(train_ds) // args.batch_size, 1)
@@ -134,13 +140,15 @@ def main(argv=None):
                                    dynamic=args.gb_dynamic,
                                    epoch_per_gb_estimate=args.epoch_per_GB_estimate,
                                    n_epochs_gb_estimate=args.n_epochs_GB_estimate,
-                                   sampler=sampler, writer=writer, put=put_train)
+                                   sampler=sampler, writer=writer, put=put_raw,
+                                   pre_fn=pre_train, pre_fn_eval=pre_eval_fn)
         print(f"final GB weights: {gb_w}")
         model_type = "multi-GB"
     else:
         state, hist = fit(model, state, train_ds, valid_ds, train_cfg, loss_cfg,
                           model_type="multi", tag=tag, sampler=sampler,
-                          writer=writer, put=put_train, put_eval=put_eval)
+                          writer=writer, put=put_raw, put_eval=put_raw,
+                          pre_fn=pre_train, pre_fn_eval=pre_eval_fn)
         model_type = "multi"
 
     plot_learning_curve(hist, os.path.join(args.save_dir, f"{tag}_learning_curve.png"))

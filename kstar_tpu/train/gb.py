@@ -34,15 +34,21 @@ from .state import TrainState, save_checkpoint
 STREAMS = ("video", "0D", "multi")
 
 
-def make_stream_step(model, loss_cfg: LossConfig, stream: str) -> Callable:
+def make_stream_step(model, loss_cfg: LossConfig, stream: str,
+                     pre_fn: Optional[Callable] = None) -> Callable:
     """Jitted train step for one stream of a *-GB model. ``stream`` selects
-    which forward runs and which logits the loss sees."""
+    which forward runs and which logits the loss sees. ``pre_fn(key, batch)``
+    fuses raw-uint8 preprocessing into the step (train/loop.py semantics);
+    streams that ignore the video modality have its preprocessing dead-code
+    eliminated by XLA."""
     loss_type, gamma, s = loss_cfg.loss_type, loss_cfg.focal_gamma, loss_cfg.ldam_s
 
     def step(state: TrainState, batch, labels, weight, m_list):
         rng = jax.random.fold_in(state.rng, state.step)
-        noise_rng, drop_rng = jax.random.split(rng)
+        noise_rng, drop_rng, pre_rng = jax.random.split(rng, 3)
         rngs = {"noise": noise_rng, "dropout": drop_rng}
+        if pre_fn is not None:
+            batch = pre_fn(pre_rng, batch)
 
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
@@ -88,10 +94,13 @@ def make_stream_step(model, loss_cfg: LossConfig, stream: str) -> Callable:
     return jax.jit(step)
 
 
-def make_stream_eval(model, loss_cfg: LossConfig, stream: str) -> Callable:
+def make_stream_eval(model, loss_cfg: LossConfig, stream: str,
+                     pre_fn: Optional[Callable] = None) -> Callable:
     loss_type, gamma, s = loss_cfg.loss_type, loss_cfg.focal_gamma, loss_cfg.ldam_s
 
     def step(state: TrainState, batch, labels, weight, m_list, mask):
+        if pre_fn is not None:
+            batch = pre_fn(None, batch)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         if stream == "video":
             out = model.apply(variables, batch["video"], train=False, method="forward_video")
@@ -143,7 +152,7 @@ def _eval_stream(step, state, dataset, batch_size, weight, m_list, put=None):
 def gb_estimate(
     model, state: TrainState, train_ds, valid_ds,
     loss_cfg: LossConfig, batch_size: int, n_epochs: int = 4,
-    seed: int = 42, put=None,
+    seed: int = 42, put=None, pre_fn=None, pre_fn_eval=None,
 ) -> Dict[str, float]:
     """Offline G-Blend estimate. The reference reloads last.pt per stream
     (reference :74-76); here each stream trains from a copy of the current
@@ -156,8 +165,8 @@ def gb_estimate(
     rng = np.random.default_rng(seed)
 
     for stream in STREAMS:
-        step = make_stream_step(model, loss_cfg, stream)
-        ev = make_stream_eval(model, loss_cfg, stream)
+        step = make_stream_step(model, loss_cfg, stream, pre_fn=pre_fn)
+        ev = make_stream_eval(model, loss_cfg, stream, pre_fn=pre_fn_eval)
         s = state  # functional copy: updates below never mutate the original
         tr_losses, va_losses = [], []
         for _ in range(n_epochs):
@@ -186,6 +195,8 @@ def fit_gb(
     sampler=None,
     writer: Optional[MetricWriter] = None,
     put=None,
+    pre_fn=None,
+    pre_fn_eval=None,
 ) -> Tuple[TrainState, History, Dict[str, float]]:
     """train_GB / train_GB_dynamic driver (reference :165-446). Initial
     weights default to the reference's w_fusion=.5, w_vis=.1, w_0D=.4
@@ -194,9 +205,10 @@ def fit_gb(
     gb_arr = jnp.asarray([gb_weights["video"], gb_weights["0D"], gb_weights["multi"]],
                          jnp.float32)
 
-    train_step = make_train_step(model, loss_cfg, "multi-GB")
-    eval_step = make_eval_step(model, loss_cfg, "multi-GB")
-    stream_evals = {s: make_stream_eval(model, loss_cfg, s) for s in STREAMS}
+    train_step = make_train_step(model, loss_cfg, "multi-GB", pre_fn=pre_fn)
+    eval_step = make_eval_step(model, loss_cfg, "multi-GB", pre_fn=pre_fn_eval)
+    stream_evals = {s: make_stream_eval(model, loss_cfg, s, pre_fn=pre_fn_eval)
+                    for s in STREAMS}
 
     counts = train_ds.class_counts()
     rng = np.random.default_rng(train_cfg.seed)
@@ -214,7 +226,8 @@ def fit_gb(
         if dynamic and epoch > 0 and epoch % epoch_per_gb_estimate == 0:
             gb_weights = gb_estimate(model, state, train_ds, valid_ds, loss_cfg,
                                      train_cfg.batch_size, n_epochs_gb_estimate,
-                                     train_cfg.seed, put)
+                                     train_cfg.seed, put, pre_fn=pre_fn,
+                                     pre_fn_eval=pre_fn_eval)
             gb_arr = jnp.asarray([gb_weights["video"], gb_weights["0D"],
                                   gb_weights["multi"]], jnp.float32)
             if writer:

@@ -104,3 +104,29 @@ class TestFitGB:
         assert len(hist.train_loss) == 2
         assert all(np.isfinite(hist.train_loss))
         assert (tmp_path / "gbtest_last.ckpt").exists()
+
+
+class TestFusedPreprocess:
+    def test_stream_eval_pre_fn_matches_host_preprocess(self, gb_setup):
+        """make_stream_eval(pre_fn=...) on raw uint8 == plain eval on a batch
+        preprocessed by the same (deterministic, train=False) pipeline."""
+        from kstar_tpu.config import AugmentConfig
+        from kstar_tpu.data.augment import make_pre_fns, preprocess_pure
+
+        model, state, ds = gb_setup
+        raw, y = ds.ds.batch(np.arange(4))          # uint8 video, float 0D
+        _, pre_eval = make_pre_fns(32, AugmentConfig(), out_dtype=jnp.float32)
+        w = jnp.ones(2); m = jnp.asarray([0.3, 0.1]); mask = jnp.ones(4)
+
+        for stream in ("video", "0D", "multi"):
+            fused = make_stream_eval(model, LossConfig(loss_type="CE"), stream,
+                                     pre_fn=pre_eval)
+            plain = make_stream_eval(model, LossConfig(loss_type="CE"), stream)
+            pre = dict(raw)
+            pre["video"] = preprocess_pure(None, jnp.asarray(raw["video"]), 32,
+                                           AugmentConfig(), train=False,
+                                           out_dtype=jnp.float32)
+            l1, p1 = fused(state, jax.tree.map(jnp.asarray, raw), jnp.asarray(y), w, m, mask)
+            l2, p2 = plain(state, pre, jnp.asarray(y), w, m, mask)
+            np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+            np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
