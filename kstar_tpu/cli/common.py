@@ -70,6 +70,11 @@ def add_common_args(p: argparse.ArgumentParser, batch_size: int = 64) -> None:
     p.add_argument("--threshold", type=float, default=0.5)
     p.add_argument("--compute_dtype", type=str, default="bfloat16",
                    choices=["bfloat16", "float32"])
+    p.add_argument("--steps_per_dispatch", type=int, default=1,
+                   help="scan K train steps into one device dispatch "
+                        "(train/loop.py make_scan_steps; numerically "
+                        "identical to K separate steps, amortizes the "
+                        "per-dispatch link latency)")
     p.add_argument("--dp", type=int, default=0,
                    help="data-parallel over N devices (0 = single device); "
                         "replaces the reference's DDP (src/distributed.py)")
@@ -87,6 +92,7 @@ def configs_from_args(args) -> Tuple[TrainConfig, LossConfig, OptimConfig]:
         early_stopping_delta=args.early_stopping_delta,
         verbose=args.verbose, save_dir=args.save_dir, weight_dir=args.weight_dir,
         compute_dtype=args.compute_dtype,
+        steps_per_dispatch=args.steps_per_dispatch,
     )
     loss_cfg = LossConfig(
         loss_type=args.loss_type, focal_gamma=args.focal_gamma,

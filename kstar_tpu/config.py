@@ -276,6 +276,9 @@ class TrainConfig:
     save_dir: str = "./results"
     weight_dir: str = "./weights"
     compute_dtype: str = "bfloat16"   # MXU-native compute precision
+    steps_per_dispatch: int = 1       # >1: scan K train steps per dispatch
+                                      # (amortizes host->device round-trips;
+                                      # numerically identical to K steps)
 
 
 @dataclass(frozen=True)

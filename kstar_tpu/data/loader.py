@@ -105,6 +105,54 @@ def threaded_batches(dataset, index_iter, put: Optional[Callable] = None,
     t.join()
 
 
+def grouped_batches(dataset, index_iter, k: int, put: Optional[Callable] = None,
+                    depth: int = 4):
+    """Group the index stream into stacks of ``k`` batches for multi-step
+    dispatch (train/loop.py make_scan_steps): yields ``('stack', (batch,
+    labels))`` with shapes (k, B, ...) for each full group — gathered in ONE
+    vectorized ``dataset.batch`` call over the concatenated indices — then
+    ``('single', (batch, labels))`` for the remainder batches, which the
+    caller runs through the already-compiled per-step program. Host gathers
+    (and optional device puts) run in a background thread like
+    ``threaded_batches``."""
+    import queue
+    import threading
+
+    indices = list(index_iter)
+    n_full = len(indices) // k
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    SENTINEL = object()
+
+    def gather_stack(group):
+        batch, labels = dataset.batch(np.concatenate(group))
+        shp = lambda a: a.reshape((k, -1) + a.shape[1:])
+        batch = ({kk: shp(v) for kk, v in batch.items()} if isinstance(batch, dict)
+                 else shp(batch))
+        return batch, labels.reshape(k, -1)
+
+    def producer():
+        for i in range(n_full):
+            item = gather_stack(indices[i * k:(i + 1) * k])
+            if put is not None:
+                item = put(item)
+            q.put(("stack", item))
+        for idx in indices[n_full * k:]:
+            item = dataset.batch(idx)
+            if put is not None:
+                item = put(item)
+            q.put(("single", item))
+        q.put(SENTINEL)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is SENTINEL:
+            break
+        yield item
+    t.join()
+
+
 def prefetch_to_device(iterator, put: Callable, depth: int = 2):
     """Double-buffer host batches onto the device: keep ``depth`` batches in
     flight so host gather overlaps TPU compute (replaces DataLoader

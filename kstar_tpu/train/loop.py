@@ -48,16 +48,10 @@ def _model_outputs(model, params, batch_stats, batch, train: bool, rngs, model_t
     return out, batch_stats
 
 
-def make_train_step(model, loss_cfg: LossConfig, model_type: str = "single",
-                    loss_scale: float = 1.0, pre_fn: Optional[Callable] = None) -> Callable:
-    """Build the jitted train step.
-
-    step(state, batch, labels, weight, m_list, gb_w) -> (state, loss, preds)
-
-    pre_fn(key, batch) — optional in-graph preprocessing (crop / augment /
-    normalize of raw uint8 video), fused into the same dispatch as the
-    forward/backward instead of costing a separate device round-trip.
-    """
+def _train_step_core(model, loss_cfg: LossConfig, model_type: str = "single",
+                     loss_scale: float = 1.0, pre_fn: Optional[Callable] = None) -> Callable:
+    """Pure (un-jitted) train step — shared by make_train_step (one step per
+    dispatch) and make_scan_steps (K steps per dispatch)."""
     loss_type = loss_cfg.loss_type
     gamma = loss_cfg.focal_gamma
     s = loss_cfg.ldam_s
@@ -102,7 +96,54 @@ def make_train_step(model, loss_cfg: LossConfig, model_type: str = "single",
         preds = jnp.argmax(logits, axis=-1)
         return new_state, loss, preds
 
-    return jax.jit(step, donate_argnums=(0,))
+    return step
+
+
+def make_train_step(model, loss_cfg: LossConfig, model_type: str = "single",
+                    loss_scale: float = 1.0, pre_fn: Optional[Callable] = None) -> Callable:
+    """Build the jitted train step.
+
+    step(state, batch, labels, weight, m_list, gb_w) -> (state, loss, preds)
+
+    pre_fn(key, batch) — optional in-graph preprocessing (crop / augment /
+    normalize of raw uint8 video), fused into the same dispatch as the
+    forward/backward instead of costing a separate device round-trip.
+    """
+    return jax.jit(_train_step_core(model, loss_cfg, model_type, loss_scale, pre_fn),
+                   donate_argnums=(0,))
+
+
+def make_scan_steps(model, loss_cfg: LossConfig, model_type: str = "single",
+                    loss_scale: float = 1.0, pre_fn: Optional[Callable] = None) -> Callable:
+    """Multi-step train program: K steps in ONE dispatch via ``lax.scan``.
+
+    multi_step(state, batches, labels, weight, m_list, gb_w)
+        -> (state, losses (K,), preds (K, B))
+
+    ``batches``/``labels`` carry a leading step axis (K, B, ...) — a stack of
+    K batches resident in device memory. Because the per-step rng derives
+    from ``fold_in(state.rng, state.step)`` and ``state.step`` advances
+    inside the scan, the result is numerically equivalent to K sequential
+    ``make_train_step`` calls — same traced step function, same rng stream,
+    differing only by XLA reassociation (tests/test_train_e2e.py asserts
+    SGD-trajectory equality) — this only changes how much work ships per
+    dispatch. Through a high-latency
+    link (the axon relay here costs ~25 ms per round-trip, comparable to a
+    whole fused ViViT step) scanning K steps amortizes that fixed cost K-way;
+    XLA compiles the scan body once, so compile time matches the single step.
+    """
+    step_core = _train_step_core(model, loss_cfg, model_type, loss_scale, pre_fn)
+
+    def multi_step(state: TrainState, batches, labels, weight, m_list, gb_w):
+        def body(st, xs):
+            b, y = xs
+            st, loss, preds = step_core(st, b, y, weight, m_list, gb_w)
+            return st, (loss, preds)
+
+        state, (losses, preds) = jax.lax.scan(body, state, (batches, labels))
+        return state, losses, preds
+
+    return jax.jit(multi_step, donate_argnums=(0,))
 
 
 def make_eval_step(model, loss_cfg: LossConfig, model_type: str = "single",
@@ -166,33 +207,56 @@ def _loss_aux(loss_cfg: LossConfig, cls_counts: np.ndarray, epoch: int, num_epoc
 
 
 def run_train_epoch(train_step, state, dataset, batch_size, rng, weight, m_list,
-                    gb_w, sampler=None, put=None, prefetch=True):
+                    gb_w, sampler=None, put=None, prefetch=True,
+                    scan_step=None, steps_per_dispatch: int = 1):
     """One training epoch, fully pipelined: batches are gathered (and put on
     device) ahead of consumption, and per-step losses/preds stay ON DEVICE —
     the host fetches them once at epoch end, so step N+1 dispatches while
     step N runs (a per-step ``float(loss)`` costs one host round-trip per
-    step — ~25 ms through the axon relay, more than a ViViT step itself)."""
-    from ..data.loader import epoch_batches, prefetch_to_device, threaded_batches
+    step — ~25 ms through the axon relay, more than a ViViT step itself).
+
+    scan_step + steps_per_dispatch > 1: full groups of K batches run as ONE
+    multi-step dispatch (make_scan_steps); the remainder uses ``train_step``.
+    Numerically identical to the per-step path."""
+    from ..data.loader import (epoch_batches, grouped_batches,
+                               prefetch_to_device, threaded_batches)
 
     n_samples = 0
     dev_losses, dev_preds, all_labels = [], [], []
     idx_iter = epoch_batches(len(dataset), batch_size, rng, sampler=sampler)
-    if prefetch:
-        # background host gather (+ device put) overlaps TPU compute
-        batch_iter = threaded_batches(dataset, idx_iter, put)
+
+    if scan_step is not None and steps_per_dispatch > 1:
+        for kind, (batch, labels) in grouped_batches(dataset, idx_iter,
+                                                     steps_per_dispatch, put):
+            if kind == "stack":
+                state, losses_k, preds_k = scan_step(
+                    state, batch, jnp.asarray(labels), weight, m_list, gb_w)
+                dev_losses.append(jnp.sum(losses_k))
+                dev_preds.append(preds_k.reshape(-1))
+            else:
+                state, loss, preds = train_step(state, batch, jnp.asarray(labels),
+                                                weight, m_list, gb_w)
+                dev_losses.append(loss)
+                dev_preds.append(preds)
+            n_samples += int(np.asarray(labels).size)
+            all_labels.append(np.asarray(labels).reshape(-1))
     else:
-        def _host():
-            for idx in idx_iter:
-                yield dataset.batch(idx)
-        batch_iter = (prefetch_to_device(_host(), put) if put is not None
-                      else _host())
-    for batch, labels in batch_iter:
-        state, loss, preds = train_step(state, batch, jnp.asarray(labels),
-                                        weight, m_list, gb_w)
-        dev_losses.append(loss)
-        dev_preds.append(preds)
-        n_samples += batch_size
-        all_labels.append(np.asarray(labels))
+        if prefetch:
+            # background host gather (+ device put) overlaps TPU compute
+            batch_iter = threaded_batches(dataset, idx_iter, put)
+        else:
+            def _host():
+                for idx in idx_iter:
+                    yield dataset.batch(idx)
+            batch_iter = (prefetch_to_device(_host(), put) if put is not None
+                          else _host())
+        for batch, labels in batch_iter:
+            state, loss, preds = train_step(state, batch, jnp.asarray(labels),
+                                            weight, m_list, gb_w)
+            dev_losses.append(loss)
+            dev_preds.append(preds)
+            n_samples += batch_size
+            all_labels.append(np.asarray(labels))
     if n_samples == 0:
         return state, 0.0, 0.0, 0.0
     losses = float(jnp.sum(jnp.stack(dev_losses)))   # single host sync
@@ -259,6 +323,9 @@ def fit(
     num_epoch = num_epoch or train_cfg.num_epoch
     train_step = make_train_step(model, loss_cfg, model_type, pre_fn=pre_fn)
     eval_step = make_eval_step(model, loss_cfg, model_type, pre_fn=pre_fn_eval)
+    k = getattr(train_cfg, "steps_per_dispatch", 1)
+    scan_step = (make_scan_steps(model, loss_cfg, model_type, pre_fn=pre_fn)
+                 if k > 1 else None)
 
     cls_counts = train_ds.class_counts()
     gb_w = jnp.asarray(gb_weights if gb_weights is not None else np.zeros(3, np.float32))
@@ -277,7 +344,8 @@ def fit(
 
         state, tr_loss, tr_acc, tr_f1 = run_train_epoch(
             train_step, state, train_ds, train_cfg.batch_size, rng,
-            weight, m_list, gb_w, sampler=sampler, put=put)
+            weight, m_list, gb_w, sampler=sampler, put=put,
+            scan_step=scan_step, steps_per_dispatch=k)
         va_loss, va_acc, va_f1 = run_eval_epoch(
             eval_step, state, valid_ds, train_cfg.batch_size,
             weight, m_list, gb_w, put=put_eval if put_eval is not None else put)

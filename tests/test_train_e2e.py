@@ -213,3 +213,62 @@ class TestGraftEntry:
         import __graft_entry__ as ge
 
         ge.dryrun_multichip(min(8, len(jax.devices())))
+
+
+class TestScanSteps:
+    def test_scan_matches_per_step(self, ts_setup, small_model):
+        """K steps scanned in one dispatch == K sequential step dispatches:
+        identical rng streams (the step key is fold_in(state.rng, state.step)
+        and state.step advances inside the scan), same math up to XLA
+        reassociation. SGD here: adaptive optimizers amplify the ~1e-7
+        reassociation noise through m/sqrt(v) while v ~ 0 in early steps,
+        which would turn a bitwise-benign difference into ~1e-3 param drift
+        and mask a real bug (or flag a non-bug)."""
+        from kstar_tpu.train.loop import (make_scan_steps, make_train_step,
+                                          run_train_epoch)
+
+        train_ds, _, _ = ts_setup
+        x, _ = train_ds.batch(np.arange(8))
+        loss_cfg = LossConfig(loss_type="Focal")
+        mk_state = lambda: create_train_state(
+            small_model, jnp.asarray(x), jax.random.key(0),
+            OptimConfig(lr=1e-3, optimizer="SGD"))
+        step = make_train_step(small_model, loss_cfg)
+        scan = make_scan_steps(small_model, loss_cfg)
+        w = jnp.ones(2); m = jnp.asarray([0.3, 0.1]); gb = jnp.zeros(3)
+
+        rng = np.random.default_rng(0)
+        idxs = [rng.permutation(len(train_ds))[:8] for _ in range(3)]
+        batches = [train_ds.batch(i) for i in idxs]
+
+        s1 = mk_state()
+        losses_seq = []
+        for b, y in batches:
+            s1, loss, _ = step(s1, jnp.asarray(b), jnp.asarray(y), w, m, gb)
+            losses_seq.append(float(loss))
+
+        s2 = mk_state()
+        bs = jnp.stack([jnp.asarray(b) for b, _ in batches])
+        ys = jnp.stack([jnp.asarray(y) for _, y in batches])
+        s2, losses_k, _ = scan(s2, bs, ys, w, m, gb)
+
+        np.testing.assert_allclose(np.asarray(losses_k), losses_seq, rtol=1e-5)
+        for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+        assert int(s2.step) == len(batches)
+
+    def test_fit_with_steps_per_dispatch(self, ts_setup, small_model, tmp_path):
+        """fit() with steps_per_dispatch=2 trains, checkpoints, and handles
+        the non-multiple remainder batch through the per-step program."""
+        train_ds, valid_ds, _ = ts_setup
+        x, _ = train_ds.batch(np.arange(16))
+        state = create_train_state(small_model, jnp.asarray(x), jax.random.key(0),
+                                   OptimConfig(lr=1e-3))
+        cfg = TrainConfig(batch_size=16, num_epoch=1, weight_dir=str(tmp_path),
+                          early_stopping=False, verbose=0, steps_per_dispatch=2)
+        state, hist = fit(small_model, state, train_ds, valid_ds, cfg,
+                          LossConfig(loss_type="CE"), tag="scantest")
+        assert len(hist.train_loss) == 1 and np.isfinite(hist.train_loss[0])
+        # every training batch was consumed: step count == floor(n/B)
+        assert int(state.step) == len(train_ds) // 16
