@@ -27,7 +27,8 @@ from ..config import LossConfig, TrainConfig
 from ..losses import classification_loss, estimate_gb_weights
 from .early_stopping import EarlyStopping
 from .logging import MetricWriter
-from .loop import History, _loss_aux, make_eval_step, make_train_step, run_eval_epoch, run_train_epoch
+from .loop import (History, _loss_aux, make_eval_step, make_scan_steps,
+                   make_train_step, run_eval_epoch, run_train_epoch)
 from .metrics import macro_f1
 from .state import TrainState, save_checkpoint
 
@@ -207,6 +208,9 @@ def fit_gb(
 
     train_step = make_train_step(model, loss_cfg, "multi-GB", pre_fn=pre_fn)
     eval_step = make_eval_step(model, loss_cfg, "multi-GB", pre_fn=pre_fn_eval)
+    k = getattr(train_cfg, "steps_per_dispatch", 1)
+    scan_step = (make_scan_steps(model, loss_cfg, "multi-GB", pre_fn=pre_fn)
+                 if k > 1 else None)
     stream_evals = {s: make_stream_eval(model, loss_cfg, s, pre_fn=pre_fn_eval)
                     for s in STREAMS}
 
@@ -235,7 +239,8 @@ def fit_gb(
 
         state, tr_loss, tr_acc, tr_f1 = run_train_epoch(
             train_step, state, train_ds, train_cfg.batch_size, rng,
-            weight, m_list, gb_arr, sampler=sampler, put=put)
+            weight, m_list, gb_arr, sampler=sampler, put=put,
+            scan_step=scan_step, steps_per_dispatch=k)
         va_loss, va_acc, va_f1 = run_eval_epoch(
             eval_step, state, valid_ds, train_cfg.batch_size, weight, m_list, gb_arr, put=put)
 
