@@ -41,6 +41,54 @@ class TestThreadedBatches:
         np.testing.assert_array_equal(got[0][1], y0)
 
 
+class TestGroupedBatches:
+    def test_stacks_then_singles(self, tiny_dataset):
+        from kstar_tpu.data import TSDataset, prepare_0d_dataset
+        from kstar_tpu.data.loader import eval_batches, grouped_batches
+
+        shots, disrupt_df, ts_df = tiny_dataset
+        df_train, _, _, scaler = prepare_0d_dataset(ts_df, Schema.INPUT_FEATURES,
+                                                    test_shot=None)
+        ds = TSDataset(df_train, disrupt_df, Schema.INPUT_FEATURES, scaler=scaler)
+        idx_list = [idx for idx, _ in eval_batches(len(ds), 16)]
+        k = 3
+        got = list(grouped_batches(ds, idx_list, k))
+        n_full = len(idx_list) // k
+        assert [kind for kind, _ in got] == (["stack"] * n_full
+                                             + ["single"] * (len(idx_list) - n_full * k))
+        # stacked content == the k individually gathered batches, in order
+        (kind0, (xb, yb)) = got[0]
+        assert xb.shape[0] == k and yb.shape == (k, 16)
+        for j in range(k):
+            x_j, y_j = ds.batch(idx_list[j])
+            np.testing.assert_array_equal(xb[j], x_j)
+            np.testing.assert_array_equal(yb[j], y_j)
+        # remainder batches come through unstacked
+        if len(idx_list) % k:
+            _, (xs, ys) = got[-1]
+            x_l, y_l = ds.batch(idx_list[-1])
+            np.testing.assert_array_equal(xs, x_l)
+
+    def test_dict_batches_and_small_epoch(self):
+        from kstar_tpu.data.loader import grouped_batches
+
+        class DictDS:
+            def batch(self, idx):
+                idx = np.asarray(idx)
+                return ({"video": idx[:, None] * 1.0, "0D": idx[:, None] * 2.0},
+                        idx % 2)
+
+        ds = DictDS()
+        # fewer index batches than k: everything yields as singles
+        got = list(grouped_batches(ds, [np.arange(4), np.arange(4, 8)], 3))
+        assert [kind for kind, _ in got] == ["single", "single"]
+        # dict batches stack per-key
+        got = list(grouped_batches(ds, [np.arange(4), np.arange(4, 8)], 2))
+        (kind, (b, y)) = got[0]
+        assert kind == "stack" and b["video"].shape == (2, 4, 1)
+        np.testing.assert_array_equal(b["0D"][1].ravel(), np.arange(4, 8) * 2.0)
+
+
 class TestDevicePipeMesh:
     def test_sharded_preprocess(self, tiny_dataset):
         import jax
