@@ -48,7 +48,8 @@ def build(name):
         cfg = {"ViViT": ViViTConfig, "R2Plus1D": R2Plus1DConfig,
                "SlowFast": SlowFastConfig}[name]()
         model = build_video_model(name, cfg, dtype=jnp.bfloat16)
-        x = jnp.zeros((B, T, H, H, 3), jnp.bfloat16)
+        t = getattr(cfg, "n_frames", T)   # SlowFast: 20 (alpha-divisible)
+        x = jnp.zeros((B, t, H, H, 3), jnp.bfloat16)
     return model, x
 
 

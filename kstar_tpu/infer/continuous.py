@@ -98,6 +98,63 @@ def _model_heads(model):
     return _vivit_hparam(model, "n_heads", 4), _vivit_hparam(model, "d_head", 64)
 
 
+def _make_cls_table_fn(model, variables, params, seq_len: int, compute_dtype,
+                       use_fused: Optional[bool] = None):
+    """Build ``tokens (T, N-1, D) -> (L, T, D)`` spatial-cls-table closure.
+
+    Uses the fused Pallas kernel (ops/spatial_table.py, 2.6x the XLA scan
+    at bench shapes) when the shape gate passes — TPU backend and model dim
+    a multiple of 128 — and the 21-offset XLA ``lax.scan`` otherwise.
+    Shared by VideoSweeper and the multimodal sweep. Returns
+    ``(cls_table_fn, fused_active)``.
+    """
+    fused_w = None
+    dim_ok = _vivit_hparam(model, "dim", 128) % 128 == 0
+    if use_fused and not dim_ok:
+        raise ValueError(
+            "use_fused_table requires the ViViT dim to be a multiple "
+            "of 128 (ops/spatial_table.py layout constraint)")
+    try:
+        from ..ops.spatial_table import extract_spatial_weights
+        on_tpu = jax.default_backend() not in ("cpu",)
+        if dim_ok and (use_fused or (use_fused is None and on_tpu)):
+            fused_w = extract_spatial_weights(
+                params, seq_len, depth=_model_depth(model), dtype=compute_dtype)
+    except Exception:
+        if use_fused:
+            raise
+        fused_w = None
+
+    n_heads, d_head = _model_heads(model)
+    depth = _model_depth(model)
+
+    def cls_table_scan(tokens):
+        def per_offset(_, off):
+            cls = model.apply(variables, tokens, off, method="spatial_cls")
+            return None, cls                                     # (T, D)
+
+        _, table = jax.lax.scan(per_offset, None, jnp.arange(seq_len))
+        return table                                             # (L, T, D)
+
+    def cls_table_fused(tokens):
+        from ..ops.spatial_table import spatial_table
+        T = tokens.shape[0]
+        block_f = 16
+        tokens65 = jnp.pad(tokens, ((0, 0), (1, 0), (0, 0)))
+        pad = (-T) % block_f
+        if pad:
+            tokens65 = jnp.concatenate(
+                [tokens65, jnp.broadcast_to(tokens65[-1:],
+                                            (pad,) + tokens65.shape[1:])])
+        table = spatial_table(tokens65, fused_w, seq_len, depth=depth,
+                              n_heads=n_heads, d_head=d_head,
+                              block_f=block_f, compute_dtype=compute_dtype)
+        return table[:, :T, :]
+
+    return (cls_table_fused if fused_w is not None else cls_table_scan,
+            fused_w is not None)
+
+
 class VideoSweeper:
     """Compiled stride-1 sliding-window sweep over on-device frames.
 
@@ -135,64 +192,18 @@ class VideoSweeper:
         # fused Pallas table kernel (ops/spatial_table.py): the 21-offset XLA
         # scan is HBM-bound (459 ms/shot at bench shapes); the kernel keeps
         # the whole spatial transformer in VMEM (183 ms, 2.6x). Auto-on for
-        # TPU backends; CPU/interpret paths keep the XLA scan.
-        self._fused_weights = None
-        if self._use_tokens and use_fused_table is not False:
-            # the kernel's 2D (F*N, D) layout needs a lane-aligned model dim;
-            # tiny debug configs (dim 32) fail Mosaic's shape-cast rules
-            dim_ok = _vivit_hparam(model, "dim", 128) % 128 == 0
-            if use_fused_table and not dim_ok:
-                raise ValueError(
-                    "use_fused_table requires the ViViT dim to be a multiple "
-                    "of 128 (ops/spatial_table.py layout constraint)")
-            try:
-                from ..ops.spatial_table import extract_spatial_weights
-                on_tpu = jax.default_backend() not in ("cpu",)
-                if dim_ok and (use_fused_table
-                               or (use_fused_table is None and on_tpu)):
-                    self._fused_weights = extract_spatial_weights(
-                        params, seq_len, depth=_model_depth(model),
-                        dtype=compute_dtype)
-            except Exception:
-                if use_fused_table:
-                    raise
-                self._fused_weights = None
-
+        # TPU backends; CPU/interpret paths keep the XLA scan
+        # (_make_cls_table_fn holds the gate + both implementations).
+        self._fused_table_active = False
         if self._use_tokens:
-            fused_w = self._fused_weights
-            n_heads, d_head = _model_heads(model)
-            depth = _model_depth(model)
-
-            def cls_table_scan(tokens):
-                def per_offset(_, off):
-                    cls = model.apply(variables, tokens, off, method="spatial_cls")
-                    return None, cls                             # (T, D)
-
-                _, cls_table = jax.lax.scan(per_offset, None,
-                                            jnp.arange(seq_len))
-                return cls_table                                 # (L, T, D)
-
-            def cls_table_fused(tokens):
-                from ..ops.spatial_table import spatial_table
-                T = tokens.shape[0]
-                block_f = 16
-                tokens65 = jnp.pad(tokens, ((0, 0), (1, 0), (0, 0)))
-                pad = (-T) % block_f
-                if pad:
-                    tokens65 = jnp.concatenate(
-                        [tokens65, jnp.broadcast_to(tokens65[-1:],
-                                                    (pad,) + tokens65.shape[1:])])
-                table = spatial_table(tokens65, fused_w, seq_len, depth=depth,
-                                      n_heads=n_heads, d_head=d_head,
-                                      block_f=block_f, compute_dtype=compute_dtype)
-                return table[:, :T, :]
+            cls_table_fn, self._fused_table_active = _make_cls_table_fn(
+                model, variables, params, seq_len, compute_dtype,
+                use_fused=use_fused_table)
 
             def embed_all(frames_u8):
                 x = frames_u8.astype(compute_dtype) - mean       # (T, h, w, C)
                 tokens = model.apply(variables, x, method="embed_frames")
-                if fused_w is not None:
-                    return cls_table_fused(tokens)
-                return cls_table_scan(tokens)
+                return cls_table_fn(tokens)
 
             def chunk_probs(cls_table, starts):
                 # window s uses frame s+1+k at offset k-1? no: frames
@@ -512,16 +523,15 @@ def predict_multimodal_shot(
     if use_tokens:
         # fusion fast path: per-shot spatial-cls table for the video branch
         # (see VideoSweeper); per window only the temporal transformer + 0D
-        # encoder + fusion head run
+        # encoder + fusion head run. Same fused-Pallas-kernel gate as the
+        # video sweep (_make_cls_table_fn).
+        cls_table_fn, _ = _make_cls_table_fn(model, variables, params,
+                                             seq_len, compute_dtype)
+
         def preprocess(frames):
             x = frames.astype(compute_dtype) - mean
             tokens = model.apply(variables, x, method="embed_frames")
-
-            def per_offset(_, off):
-                return None, model.apply(variables, tokens, off, method="spatial_cls")
-
-            _, table = jax.lax.scan(per_offset, None, jnp.arange(seq_len))
-            return table                                           # (L, T, D)
+            return cls_table_fn(tokens)                            # (L, T, D)
 
         def chunk_probs(table, ts_data, v_starts, t_starts):
             vi = jnp.clip(v_starts[:, None] + v_offsets[None, :], 0, table.shape[1] - 1)

@@ -114,6 +114,12 @@ class TestFusedPreprocess:
         from kstar_tpu.data.augment import make_pre_fns, preprocess_pure
 
         model, state, ds = gb_setup
+        # the module fixture's state buffers are DONATED by the fit_gb test
+        # when the whole module runs — rebuild a fresh state here
+        b0, _ = ds.batch(np.arange(4))
+        state = create_train_state(model, None, jax.random.key(0),
+                                   OptimConfig(lr=1e-3),
+                                   apply_args=(b0["video"], b0["0D"]))
         raw, y = ds.ds.batch(np.arange(4))          # uint8 video, float 0D
         _, pre_eval = make_pre_fns(32, AugmentConfig(), out_dtype=jnp.float32)
         w = jnp.ones(2); m = jnp.asarray([0.3, 0.1]); mask = jnp.ones(4)

@@ -74,7 +74,7 @@ def test_sweeper_falls_back_without_fused(vivit_setup):
                            variables.get("batch_stats", {}),
                            SEQ_LEN, IMG, batch_size=8,
                            compute_dtype=jnp.float32)
-    assert sweeper._fused_weights is None   # auto mode on CPU
+    assert not sweeper._fused_table_active  # auto mode on CPU
 
     rng = np.random.default_rng(2)
     frames = rng.integers(0, 255, size=(T + SEQ_LEN + 4, IMG, IMG, 3),
