@@ -38,6 +38,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--reduction", type=int, default=16)
     p.add_argument("--skip_extras", action="store_true",
                    help="skip feature importance / latent viz / prob curve")
+    p.add_argument("--seeds", type=int, nargs="+", default=None,
+                   help="train several seeds SIMULTANEOUSLY (vmap ensemble, "
+                        "train/ensemble.py) — replaces the reference's "
+                        "serial per-seed sweep processes (exp/*.sh seeds "
+                        "40-43) at ~1x wall-clock for 0D models; per-seed "
+                        "checkpoints + histories, then the best member "
+                        "continues into eval/extras. Ignores --dp.")
     return p
 
 
@@ -109,10 +116,26 @@ def main(argv=None):
             state = load_checkpoint(state, last)
             print(f"resumed from {last} at step {int(state.step)}")
 
-    from .common import setup_dp
-    state, mesh, put = setup_dp(args, state)
-    state, hist = fit(model, state, train_ds, valid_ds, train_cfg, loss_cfg,
-                      tag=tag, sampler=sampler, writer=writer, put=put)
+    if args.seeds and len(args.seeds) > 1:
+        from ..train import create_ensemble_state, fit_ensemble, unstack_ensemble
+        states = create_ensemble_state(model, jnp.asarray(x0), args.seeds,
+                                       optim_cfg, steps_per_epoch=steps)
+        # drop the tag's own _seed_N suffix: fit_ensemble appends _seed_{s}
+        # per member, reproducing the reference's per-seed sweep tag scheme
+        ens_tag = tag.rsplit("_seed_", 1)[0] if args.tag is None else tag
+        states, hists = fit_ensemble(model, states, args.seeds, train_ds,
+                                     valid_ds, train_cfg, loss_cfg, tag=ens_tag,
+                                     sampler=sampler)
+        for s, h in zip(args.seeds, hists):
+            print(f"seed {s}: best valid f1 {h.best_f1:.4f} @ epoch {h.best_epoch + 1}")
+        best_i = int(np.argmax([h.best_f1 for h in hists]))
+        state, hist = unstack_ensemble(states, best_i), hists[best_i]
+        print(f"continuing with best seed {args.seeds[best_i]}")
+    else:
+        from .common import setup_dp
+        state, mesh, put = setup_dp(args, state)
+        state, hist = fit(model, state, train_ds, valid_ds, train_cfg, loss_cfg,
+                          tag=tag, sampler=sampler, writer=writer, put=put)
     plot_learning_curve(hist, os.path.join(args.save_dir, f"{tag}_learning_curve.png"))
 
     results = evaluate(model, state, test_ds, loss_cfg,

@@ -9,3 +9,6 @@ from .state import (TrainState, create_train_state, load_checkpoint,
                     load_params, make_optimizer, save_checkpoint)
 from . import cca, gb, hpo, mixup
 from .gb import fit_gb, gb_estimate
+from .ensemble import (create_ensemble_state, fit_ensemble,
+                       make_ensemble_eval, make_ensemble_step,
+                       unstack_ensemble)

@@ -1,0 +1,89 @@
+"""vmap'd multi-seed ensemble training (train/ensemble.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kstar_tpu.config import (LossConfig, MLSTMFCNConfig, OptimConfig, Schema,
+                              TrainConfig)
+from kstar_tpu.data import TSDataset, prepare_0d_dataset
+from kstar_tpu.models import build_0d_model
+from kstar_tpu.train import (create_ensemble_state, create_train_state,
+                             fit_ensemble, load_checkpoint,
+                             make_ensemble_step, make_train_step,
+                             unstack_ensemble)
+
+COLS = Schema.INPUT_FEATURES
+SEEDS = (40, 41, 42)
+
+
+@pytest.fixture(scope="module")
+def ens_setup(tiny_dataset):
+    shots, disrupt_df, ts_df = tiny_dataset
+    df_train, df_valid, _, scaler = prepare_0d_dataset(ts_df, COLS, test_shot=None)
+    mk = lambda df: TSDataset(df, disrupt_df, COLS, seq_len=21, dist=3, scaler=scaler)
+    cfg = MLSTMFCNConfig(n_features=len(COLS), fcn_dim=16, seq_len=21,
+                         lstm_dim=16, lstm_n_layers=1)
+    return build_0d_model("MLSTM_FCN", cfg), mk(df_train), mk(df_valid)
+
+
+def test_members_match_solo_runs(ens_setup):
+    """Each ensemble member's trajectory == a solo run with that seed
+    (SGD; same rng-from-(rng, step) stream, shared batches)."""
+    model, train_ds, _ = ens_setup
+    x, _ = train_ds.batch(np.arange(8))
+    opt = OptimConfig(lr=1e-3, optimizer="SGD")
+    loss_cfg = LossConfig(loss_type="Focal")
+    w = jnp.ones(2); m = jnp.asarray([0.3, 0.1]); gb = jnp.zeros(3)
+
+    rng = np.random.default_rng(0)
+    batches = [train_ds.batch(rng.permutation(len(train_ds))[:8])
+               for _ in range(3)]
+
+    states = create_ensemble_state(model, jnp.asarray(x), SEEDS, opt)
+    estep = make_ensemble_step(model, loss_cfg)
+    ens_losses = []
+    for b, y in batches:
+        states, losses, _ = estep(states, jnp.asarray(b), jnp.asarray(y), w, m, gb)
+        ens_losses.append(np.asarray(losses))
+
+    step = make_train_step(model, loss_cfg)
+    for i, seed in enumerate(SEEDS):
+        solo = create_train_state(model, jnp.asarray(x), jax.random.key(seed), opt)
+        for t, (b, y) in enumerate(batches):
+            solo, loss, _ = step(solo, jnp.asarray(b), jnp.asarray(y), w, m, gb)
+            np.testing.assert_allclose(float(loss), ens_losses[t][i], rtol=1e-5)
+        member = unstack_ensemble(states, i)
+        for a, b_ in zip(jax.tree.leaves(solo.params),
+                         jax.tree.leaves(member.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=1e-5, atol=1e-6)
+
+
+def test_fit_ensemble_histories_and_checkpoints(ens_setup, tmp_path):
+    model, train_ds, valid_ds = ens_setup
+    x, _ = train_ds.batch(np.arange(8))
+    states = create_ensemble_state(model, jnp.asarray(x), SEEDS,
+                                   OptimConfig(lr=1e-3))
+    cfg = TrainConfig(batch_size=8, num_epoch=2, weight_dir=str(tmp_path),
+                      early_stopping=False, verbose=0)
+    states, hists = fit_ensemble(model, states, SEEDS, train_ds, valid_ds,
+                                 cfg, LossConfig(loss_type="CE"), tag="ens")
+    assert len(hists) == len(SEEDS)
+    assert all(len(h.train_loss) == 2 for h in hists)
+    assert all(np.isfinite(h.train_loss).all() for h in hists)
+    # members genuinely differ (independent inits)
+    p0 = jax.tree.leaves(unstack_ensemble(states, 0).params)[0]
+    p1 = jax.tree.leaves(unstack_ensemble(states, 1).params)[0]
+    assert not np.allclose(np.asarray(p0), np.asarray(p1))
+    for s in SEEDS:
+        assert (tmp_path / f"ens_seed_{s}_last.ckpt").exists()
+        assert (tmp_path / f"ens_seed_{s}_best.ckpt").exists()
+    # checkpoint restores into a solo-state template
+    solo = create_train_state(model, jnp.asarray(x), jax.random.key(0),
+                              OptimConfig(lr=1e-3))
+    restored = load_checkpoint(solo, str(tmp_path / f"ens_seed_40_best.ckpt"))
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(restored.params)[0]).shape,
+        np.asarray(jax.tree.leaves(solo.params)[0]).shape)
