@@ -69,32 +69,9 @@ def make_ensemble_eval(model, loss_cfg: LossConfig, model_type: str = "single",
                        pre_fn=None):
     """eval(states, batch, labels, weight, m_list, gb_w, mask)
     -> (losses (N,), probs (N, B, C), preds (N, B))."""
-    # un-jitted eval-step body (make_eval_step jits internally, so its body
-    # is restated here for the vmap)
-    loss_type = loss_cfg.loss_type
-    gamma = loss_cfg.focal_gamma
-    s = loss_cfg.ldam_s
-    from .loop import _model_outputs
-    from ..losses import classification_loss, gradient_blending_loss
+    from .loop import _eval_step_core
 
-    def one(state, batch, labels, weight, m_list, gb_w, mask):
-        if pre_fn is not None:
-            batch = pre_fn(None, batch)
-        out, _ = _model_outputs(model, state.params, state.batch_stats,
-                                batch, False, None, model_type)
-        if model_type == "multi-GB":
-            out_multi, out_vis, out_ts = out
-            loss = gradient_blending_loss(out_multi, out_vis, out_ts, labels,
-                                          gb_w, loss_type=loss_type,
-                                          weight=weight, mask=mask,
-                                          gamma=gamma, m_list=m_list, s=s)
-            logits = out_multi
-        else:
-            loss = classification_loss(out, labels, loss_type, weight=weight,
-                                       mask=mask, gamma=gamma, m_list=m_list, s=s)
-            logits = out
-        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-        return loss, probs, jnp.argmax(logits, axis=-1)
+    one = _eval_step_core(model, loss_cfg, model_type, pre_fn=pre_fn)
 
     def step(states, batch, labels, weight, m_list, gb_w, mask):
         return jax.vmap(

@@ -146,10 +146,10 @@ def make_scan_steps(model, loss_cfg: LossConfig, model_type: str = "single",
     return jax.jit(multi_step, donate_argnums=(0,))
 
 
-def make_eval_step(model, loss_cfg: LossConfig, model_type: str = "single",
-                   loss_scale: float = 1.0, pre_fn: Optional[Callable] = None) -> Callable:
-    """eval_step(state, batch, labels, weight, m_list, gb_w, mask)
-    -> (loss, probs, preds); probs = softmax(logits)."""
+def _eval_step_core(model, loss_cfg: LossConfig, model_type: str = "single",
+                    loss_scale: float = 1.0, pre_fn: Optional[Callable] = None) -> Callable:
+    """Pure (un-jitted) eval step — shared by make_eval_step and the
+    vmapped ensemble eval (train/ensemble.py)."""
     loss_type = loss_cfg.loss_type
     gamma = loss_cfg.focal_gamma
     s = loss_cfg.ldam_s
@@ -175,7 +175,14 @@ def make_eval_step(model, loss_cfg: LossConfig, model_type: str = "single",
         preds = jnp.argmax(logits, axis=-1)
         return loss, probs, preds
 
-    return jax.jit(step)
+    return step
+
+
+def make_eval_step(model, loss_cfg: LossConfig, model_type: str = "single",
+                   loss_scale: float = 1.0, pre_fn: Optional[Callable] = None) -> Callable:
+    """eval_step(state, batch, labels, weight, m_list, gb_w, mask)
+    -> (loss, probs, preds); probs = softmax(logits)."""
+    return jax.jit(_eval_step_core(model, loss_cfg, model_type, loss_scale, pre_fn))
 
 
 # ---------------------------------------------------------------------------
