@@ -21,6 +21,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model", type=str, default="ViViT",
                    choices=["ViViT", "SlowFast", "R2Plus1D"])
     p.add_argument("--tag", type=str, default=None)
+    p.add_argument("--seeds", type=int, nargs="+", default=None,
+                   help="train several seeds SIMULTANEOUSLY (vmap ensemble, "
+                        "train/ensemble.py; see cli/train_0d.py). Device "
+                        "memory scales with len(seeds). Ignored with --dp.")
     add_common_args(p, batch_size=64)
     p.add_argument("--image_size", type=int, default=128)
     # augmentation (reference train_vision_network.py:52-63)
@@ -154,10 +158,29 @@ def main(argv=None):
     writer = MetricWriter(os.path.join(args.save_dir, "tensorboard", tag))
     sampler = ImbalancedSampler(train_ds.labels) if args.use_sampling else None
 
-    state, hist = fit(model, state, train_ds, valid_ds, train_cfg, loss_cfg,
-                      tag=tag, sampler=sampler, writer=writer,
-                      put=put_raw, put_eval=put_raw,
-                      pre_fn=pre_train, pre_fn_eval=pre_eval_fn)
+    if args.seeds and len(args.seeds) > 1 and mesh is None:
+        # vmapped multi-seed ensemble (train/ensemble.py). Device memory
+        # scales with len(seeds): fine for ViViT-class models at B<=64,
+        # size R2Plus1D runs accordingly.
+        from ..train import create_ensemble_state, fit_ensemble, unstack_ensemble
+        steps = max(len(train_ds) // args.batch_size, 1)
+        states = create_ensemble_state(model, x0, args.seeds, optim_cfg,
+                                       steps_per_epoch=steps)
+        ens_tag = tag.rsplit("_seed_", 1)[0] if args.tag is None else tag
+        states, hists = fit_ensemble(model, states, args.seeds, train_ds,
+                                     valid_ds, train_cfg, loss_cfg, tag=ens_tag,
+                                     sampler=sampler, put=put_raw,
+                                     pre_fn=pre_train, pre_fn_eval=pre_eval_fn)
+        for s, h in zip(args.seeds, hists):
+            print(f"seed {s}: best valid f1 {h.best_f1:.4f} @ epoch {h.best_epoch + 1}")
+        best_i = int(np.argmax([h.best_f1 for h in hists]))
+        state, hist = unstack_ensemble(states, best_i), hists[best_i]
+        print(f"continuing with best seed {args.seeds[best_i]}")
+    else:
+        state, hist = fit(model, state, train_ds, valid_ds, train_cfg, loss_cfg,
+                          tag=tag, sampler=sampler, writer=writer,
+                          put=put_raw, put_eval=put_raw,
+                          pre_fn=pre_train, pre_fn_eval=pre_eval_fn)
     plot_learning_curve(hist, os.path.join(args.save_dir, f"{tag}_learning_curve.png"))
 
     # evaluate: eval-mode preprocessing
