@@ -118,36 +118,42 @@ def make_stream_eval(model, loss_cfg: LossConfig, stream: str,
 
 
 def _epoch_stream(step, state, dataset, batch_size, rng, weight, m_list, put=None):
-    from ..data.loader import epoch_batches
+    from ..data.loader import epoch_batches, threaded_batches
 
-    total, n = 0.0, 0
-    for idx in epoch_batches(len(dataset), batch_size, rng):
-        batch, labels = dataset.batch(idx)
-        if put is not None:
-            batch, labels = put((batch, labels))
+    dev_losses, n = [], 0
+    idx_iter = epoch_batches(len(dataset), batch_size, rng)
+    for batch, labels in threaded_batches(dataset, idx_iter, put):
         state, loss = step(state, batch, jnp.asarray(labels), weight, m_list)
-        total += float(loss)
-        n += len(idx)
-    return state, total / max(n, 1)
+        dev_losses.append(loss)         # stays on device; one fetch at the end
+        n += len(labels)
+    if n == 0:
+        return state, 0.0
+    return state, float(jnp.sum(jnp.stack(dev_losses))) / n
 
 
 def _eval_stream(step, state, dataset, batch_size, weight, m_list, put=None):
     from ..data.loader import eval_batches
 
-    total, n = 0.0, 0
-    preds_all, labels_all = [], []
+    dev_losses, dev_preds, n = [], [], 0
+    labels_all, masks_all = [], []
     for idx, mask in eval_batches(len(dataset), batch_size):
         batch, labels = dataset.batch(idx)
         if put is not None:
             batch, labels = put((batch, labels))
         loss, preds = step(state, batch, jnp.asarray(labels), weight, m_list,
                            jnp.asarray(mask, jnp.float32))
-        total += float(loss)
+        dev_losses.append(loss)
+        dev_preds.append(preds)
         n += int(mask.sum())
-        preds_all.append(np.asarray(preds)[mask])
-        labels_all.append(np.asarray(labels)[mask])
-    f1 = macro_f1(np.concatenate(labels_all), np.concatenate(preds_all)) if n else 0.0
-    return total / max(n, 1), f1
+        labels_all.append(np.asarray(labels))
+        masks_all.append(mask)
+    if n == 0:
+        return 0.0, 0.0
+    total = float(jnp.sum(jnp.stack(dev_losses)))   # single host sync
+    mask_all = np.concatenate(masks_all)
+    preds = np.concatenate([np.asarray(p) for p in dev_preds])[mask_all]
+    labels = np.concatenate(labels_all)[mask_all]
+    return total / n, macro_f1(labels, preds)
 
 
 def gb_estimate(
