@@ -37,6 +37,7 @@ def sweep_prob_curves(
     crop_size: int = 128,
     batch_size: int = 128,
     compute_dtype=None,
+    mesh=None,
 ) -> List[Tuple[int, object, np.ndarray, np.ndarray]]:
     """One-dispatch library sweep -> [(shot, disrupt_row, time_x, probs)].
 
@@ -53,7 +54,7 @@ def sweep_prob_curves(
         return []
 
     sweeper = VideoSweeper(model, params, batch_stats, seq_len, crop_size,
-                           batch_size, compute_dtype)
+                           batch_size, compute_dtype, mesh=mesh)
     frames_list, starts_list, metas = [], [], []
     for shot in shots:
         r = disrupt_df[disrupt_df.shot == shot].iloc[0]
@@ -126,12 +127,14 @@ def evaluate_video_alarms(
     threshold: float = 0.5,
     t_min: float = 1.0,
     compute_dtype=None,
+    mesh=None,
 ) -> Dict:
     """Sweep each shot (one dispatch for the library), score alarms.
-    Returns {'per_shot': DataFrame, 'summary': dict}."""
+    Returns {'per_shot': DataFrame, 'summary': dict}. Pass ``mesh`` to
+    shard the shot axis over its 'data' devices (VideoSweeper shard_map)."""
     curves = sweep_prob_curves(model, params, batch_stats, store, disrupt_df,
                                shots, seq_len, dist, crop_size, batch_size,
-                               compute_dtype)
+                               compute_dtype, mesh=mesh)
     return score_alarms(curves, threshold, t_min)
 
 
@@ -149,7 +152,7 @@ def threshold_sweep(
         model, params, batch_stats, store, disrupt_df, shots,
         seq_len=kw.pop("seq_len", 21), dist=kw.pop("dist", 3),
         crop_size=kw.pop("crop_size", 128), batch_size=kw.pop("batch_size", 128),
-        compute_dtype=kw.pop("compute_dtype", None))
+        compute_dtype=kw.pop("compute_dtype", None), mesh=kw.pop("mesh", None))
 
     rows = []
     for thr in thresholds:

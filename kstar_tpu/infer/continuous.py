@@ -169,10 +169,11 @@ class VideoSweeper:
 
     def __init__(self, model, params, batch_stats, seq_len: int, crop_size: int,
                  batch_size: int = 64, compute_dtype=jnp.bfloat16,
-                 use_fused_table: Optional[bool] = None):
+                 use_fused_table: Optional[bool] = None, mesh=None):
         self.seq_len = seq_len
         self.crop_size = crop_size
         self.batch_size = batch_size
+        self.mesh = mesh    # shard sweep_shots' shot axis over mesh's 'data'
 
         offsets = jnp.arange(1, seq_len + 1)  # window s covers frames [s+1, s+L]
         # uint8 values and the integer channel means are exactly representable
@@ -252,7 +253,19 @@ class VideoSweeper:
             self._embed_all_fn = embed_all
         self._sweep_all = jax.jit(sweep_all)
         self._sweep_shot = jax.jit(sweep_shot)
-        self._sweep_shots = jax.jit(sweep_shots)
+        if mesh is not None:
+            # multi-chip library sweep: shard the SHOT axis over the mesh's
+            # 'data' axis — each device scans its local shots with the same
+            # whole-shot program (params replicate via closure capture).
+            # Scales offline evaluation linearly with chips over ICI.
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+            self._sweep_shots = jax.jit(shard_map(
+                sweep_shots, mesh=mesh,
+                in_specs=(P("data"), P("data")), out_specs=P("data"),
+                check_rep=False))
+        else:
+            self._sweep_shots = jax.jit(sweep_shots)
         self._frames_dev = None
 
     def load_shot(self, frames_u8: np.ndarray):
@@ -341,8 +354,28 @@ class VideoSweeper:
             padded[: len(starts)] = starts
             chunk_stack.append(padded.reshape(n_buck, B))
 
-        probs = np.asarray(self._sweep_shots(
-            jax.device_put(np.stack(stack)), jnp.asarray(np.stack(chunk_stack))))
+        frames_stack = np.stack(stack)
+        chunks_stack = np.stack(chunk_stack)
+        if self.mesh is not None:
+            # pad the shot axis to a multiple of the data-axis size (repeat
+            # the last shot; padding results are sliced away), and lay the
+            # stacks out sharded so each device receives only its shots
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+            n_data = self.mesh.shape["data"]
+            pad_s = (-S) % n_data
+            if pad_s:
+                frames_stack = np.concatenate(
+                    [frames_stack, np.repeat(frames_stack[-1:], pad_s, axis=0)])
+                chunks_stack = np.concatenate(
+                    [chunks_stack, np.repeat(chunks_stack[-1:], pad_s, axis=0)])
+            sh = lambda x: jax.device_put(
+                x, NamedSharding(self.mesh, P("data")))
+            probs = np.asarray(self._sweep_shots(sh(frames_stack),
+                                                 sh(chunks_stack)))
+        else:
+            probs = np.asarray(self._sweep_shots(
+                jax.device_put(frames_stack), jnp.asarray(chunks_stack)))
         return [probs[i].reshape(-1)[: len(starts_list[i])] for i in range(S)]
 
 

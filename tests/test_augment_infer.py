@@ -129,3 +129,36 @@ class TestMultiShotSweep:
         batched = sw.sweep_shots(frames_list, starts_list)
         for f, s, pb in zip(frames_list, starts_list, batched):
             np.testing.assert_allclose(pb, sw.sweep(f, s), atol=2e-5)
+
+    def test_sharded_matches_unsharded(self):
+        """sweep_shots with a mesh (shot axis sharded over 'data' via
+        shard_map) == the single-device library sweep, incl. the
+        pad-to-mesh-multiple path (3 shots on 8 devices)."""
+        import jax
+        import jax.numpy as jnp
+
+        if len(jax.devices()) < 8:
+            import pytest
+            pytest.skip("needs 8 virtual devices")
+        from kstar_tpu.config import MeshConfig
+        from kstar_tpu.infer.continuous import VideoSweeper
+        from kstar_tpu.models import ViViT
+        from kstar_tpu.parallel import make_mesh
+
+        m = ViViT(image_size=16, patch_size=8, n_frames=4, dim=16, depth=1,
+                  n_heads=2, d_head=8, scale_dim=2, dropout=0.0, embedd_dropout=0.0)
+        rngs = {"params": jax.random.key(0), "noise": jax.random.key(1),
+                "dropout": jax.random.key(2)}
+        v = m.init(rngs, jnp.zeros((1, 4, 16, 16, 3)), train=False)
+        mesh = make_mesh(MeshConfig(data=8, model=1), jax.devices()[:8])
+        kw = dict(seq_len=4, crop_size=16, batch_size=8, compute_dtype=jnp.float32)
+        sw = VideoSweeper(m, v["params"], {}, **kw)
+        sw_dp = VideoSweeper(m, v["params"], {}, mesh=mesh, **kw)
+        rng = np.random.default_rng(0)
+        frames_list = [rng.integers(0, 255, (n, 16, 16, 3), dtype=np.uint8)
+                       for n in (40, 55, 33)]
+        starts_list = [np.arange(n - 5, dtype=np.int64) for n in (40, 55, 33)]
+        solo = sw.sweep_shots(frames_list, starts_list)
+        dp = sw_dp.sweep_shots(frames_list, starts_list)
+        for a, b in zip(solo, dp):
+            np.testing.assert_allclose(a, b, atol=2e-5)
