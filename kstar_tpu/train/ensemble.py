@@ -97,7 +97,15 @@ def fit_ensemble(
 ) -> Tuple[TrainState, List[History]]:
     """Train all ensemble members simultaneously; per-member History and
     per-member ``{tag}_seed_{s}_{best,last}.ckpt`` checkpoints (the tag
-    scheme the reference's per-seed sweep processes produce)."""
+    scheme the reference's per-seed sweep processes produce).
+
+    Scope notes: no early stopping (members would stop at different epochs,
+    splitting the vmapped program — run the full budget and use each
+    member's best checkpoint) and no TensorBoard writer (per-member
+    histories return to the caller). Batches and the sampler are shared
+    across members; relative to the reference's per-seed processes this is
+    an rng difference only, since each member keeps its own init, noise,
+    dropout, and augmentation streams."""
     from ..data.loader import epoch_batches, eval_batches, threaded_batches
 
     n = len(seeds)
