@@ -118,8 +118,17 @@ def main(argv=None):
 
     if args.seeds and len(args.seeds) > 1:
         from ..train import create_ensemble_state, fit_ensemble, unstack_ensemble
+        mesh = None
+        if args.dp and len(args.seeds) % args.dp == 0:
+            # shard the ensemble axis over the data devices: each chip
+            # trains its local members, no collectives
+            from ..config import MeshConfig
+            from ..parallel import make_mesh
+            mesh = make_mesh(MeshConfig(data=args.dp, model=1),
+                             jax.devices()[: args.dp])
         states = create_ensemble_state(model, jnp.asarray(x0), args.seeds,
-                                       optim_cfg, steps_per_epoch=steps)
+                                       optim_cfg, steps_per_epoch=steps,
+                                       mesh=mesh)
         # drop the tag's own _seed_N suffix: fit_ensemble appends _seed_{s}
         # per member, reproducing the reference's per-seed sweep tag scheme
         ens_tag = tag.rsplit("_seed_", 1)[0] if args.tag is None else tag

@@ -33,9 +33,16 @@ from .state import TrainState, create_train_state, save_checkpoint
 
 def create_ensemble_state(model, sample_batch, seeds, optim_cfg: OptimConfig,
                           steps_per_epoch: int = 1,
-                          apply_args: Optional[tuple] = None) -> TrainState:
+                          apply_args: Optional[tuple] = None,
+                          mesh=None) -> TrainState:
     """Stack N independently-initialized TrainStates (one per seed) into a
-    single TrainState whose array leaves carry a leading ensemble axis."""
+    single TrainState whose array leaves carry a leading ensemble axis.
+
+    ``mesh``: shard the ensemble axis over the mesh's 'data' devices —
+    members are independent, so GSPMD partitions the vmapped step with NO
+    collectives (each chip trains its local members; the shared batch
+    replicates). len(seeds) must divide the data-axis size evenly.
+    """
     states = [create_train_state(model, sample_batch, jax.random.key(int(s)),
                                  optim_cfg, steps_per_epoch=steps_per_epoch,
                                  apply_args=apply_args)
@@ -43,7 +50,13 @@ def create_ensemble_state(model, sample_batch, seeds, optim_cfg: OptimConfig,
     # tx is a static pytree field; each create_train_state built its own
     # (identical) optax chain — unify so the treedefs match for stacking
     states = [st.replace(tx=states[0].tx) for st in states]
-    return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+    if mesh is not None:
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+        sh = NamedSharding(mesh, P("data"))
+        stacked = jax.tree.map(lambda x: jax.device_put(x, sh), stacked)
+    return stacked
 
 
 def unstack_ensemble(state: TrainState, i: int) -> TrainState:

@@ -87,3 +87,32 @@ def test_fit_ensemble_histories_and_checkpoints(ens_setup, tmp_path):
     np.testing.assert_array_equal(
         np.asarray(jax.tree.leaves(restored.params)[0]).shape,
         np.asarray(jax.tree.leaves(solo.params)[0]).shape)
+
+
+def test_sharded_ensemble_matches_unsharded(ens_setup):
+    """Ensemble axis sharded over the 8-device mesh == unsharded results
+    (members are independent; GSPMD partitions without collectives)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from kstar_tpu.config import MeshConfig
+    from kstar_tpu.parallel import make_mesh
+
+    model, train_ds, _ = ens_setup
+    x, _ = train_ds.batch(np.arange(8))
+    opt = OptimConfig(lr=1e-3, optimizer="SGD")
+    loss_cfg = LossConfig(loss_type="CE")
+    w = jnp.ones(2); m = jnp.asarray([0.3, 0.1]); gb = jnp.zeros(3)
+    seeds8 = tuple(range(40, 48))
+    mesh = make_mesh(MeshConfig(data=8, model=1), jax.devices()[:8])
+
+    b, y = train_ds.batch(np.arange(8))
+    plain = create_ensemble_state(model, jnp.asarray(x), seeds8, opt)
+    shard = create_ensemble_state(model, jnp.asarray(x), seeds8, opt, mesh=mesh)
+    step = make_ensemble_step(model, loss_cfg)
+    for _ in range(2):
+        plain, l1, _ = step(plain, jnp.asarray(b), jnp.asarray(y), w, m, gb)
+        shard, l2, _ = step(shard, jnp.asarray(b), jnp.asarray(y), w, m, gb)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-5)
+    for a, c in zip(jax.tree.leaves(plain.params), jax.tree.leaves(shard.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=1e-5, atol=1e-6)
