@@ -158,18 +158,27 @@ def main(argv=None):
     writer = MetricWriter(os.path.join(args.save_dir, "tensorboard", tag))
     sampler = ImbalancedSampler(train_ds.labels) if args.use_sampling else None
 
-    if args.seeds and len(args.seeds) > 1 and mesh is None:
+    if args.seeds and len(args.seeds) > 1:
         # vmapped multi-seed ensemble (train/ensemble.py). Device memory
-        # scales with len(seeds): fine for ViViT-class models at B<=64,
-        # size R2Plus1D runs accordingly.
+        # scales with len(seeds) per chip: fine for ViViT-class models at
+        # B<=64, size R2Plus1D runs accordingly. With --dp the ensemble
+        # axis shards over the data devices (each chip trains its local
+        # members, no collectives).
         from ..train import create_ensemble_state, fit_ensemble, unstack_ensemble
+        ens_mesh = (mesh if mesh is not None
+                    and len(args.seeds) % mesh.shape["data"] == 0 else None)
         steps = max(len(train_ds) // args.batch_size, 1)
         states = create_ensemble_state(model, x0, args.seeds, optim_cfg,
-                                       steps_per_epoch=steps)
+                                       steps_per_epoch=steps, mesh=ens_mesh)
         ens_tag = tag.rsplit("_seed_", 1)[0] if args.tag is None else tag
+        # batches REPLICATE across members (every member sees the full
+        # batch): with the ensemble axis sharded, a data-sharded put would
+        # force a per-step all-gather, so ship batches unsharded
+        ens_put = (put_raw if ens_mesh is None else
+                   (lambda bl: (jnp.asarray(bl[0]), jnp.asarray(bl[1]))))
         states, hists = fit_ensemble(model, states, args.seeds, train_ds,
                                      valid_ds, train_cfg, loss_cfg, tag=ens_tag,
-                                     sampler=sampler, put=put_raw,
+                                     sampler=sampler, put=ens_put,
                                      pre_fn=pre_train, pre_fn_eval=pre_eval_fn)
         for s, h in zip(args.seeds, hists):
             print(f"seed {s}: best valid f1 {h.best_f1:.4f} @ epoch {h.best_epoch + 1}")
