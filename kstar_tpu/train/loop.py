@@ -197,6 +197,7 @@ class History:
     valid_f1: List[float] = field(default_factory=list)
     train_acc: List[float] = field(default_factory=list)
     valid_acc: List[float] = field(default_factory=list)
+    epoch_s: List[float] = field(default_factory=list)   # wall-clock per epoch
     best_epoch: int = 0
     best_f1: float = 0.0
 
@@ -346,9 +347,11 @@ def fit(
     last_path = os.path.join(train_cfg.weight_dir, f"{tag}_last.ckpt")
     best_path = os.path.join(train_cfg.weight_dir, f"{tag}_best.ckpt")
 
+    import time as _time
     for epoch in range(num_epoch):
         weight, m_list = _loss_aux(loss_cfg, cls_counts, epoch, num_epoch)
 
+        t_ep = _time.perf_counter()
         state, tr_loss, tr_acc, tr_f1 = run_train_epoch(
             train_step, state, train_ds, train_cfg.batch_size, rng,
             weight, m_list, gb_w, sampler=sampler, put=put,
@@ -356,17 +359,20 @@ def fit(
         va_loss, va_acc, va_f1 = run_eval_epoch(
             eval_step, state, valid_ds, train_cfg.batch_size,
             weight, m_list, gb_w, put=put_eval if put_eval is not None else put)
+        ep_s = _time.perf_counter() - t_ep
 
         hist.train_loss.append(tr_loss); hist.valid_loss.append(va_loss)
         hist.train_acc.append(tr_acc); hist.valid_acc.append(va_acc)
         hist.train_f1.append(tr_f1); hist.valid_f1.append(va_f1)
+        hist.epoch_s.append(ep_s)
 
         if writer:
             writer.scalars({"Loss/train": tr_loss, "Loss/valid": va_loss,
-                            "F1/train": tr_f1, "F1/valid": va_f1}, epoch)
+                            "F1/train": tr_f1, "F1/valid": va_f1,
+                            "time/epoch_s": ep_s}, epoch)
         if train_cfg.verbose and epoch % train_cfg.verbose == 0:
             print(f"epoch {epoch+1:3d} | train loss {tr_loss:.4f} f1 {tr_f1:.4f} "
-                  f"| valid loss {va_loss:.4f} f1 {va_f1:.4f}")
+                  f"| valid loss {va_loss:.4f} f1 {va_f1:.4f} | {ep_s:.1f}s")
 
         save_checkpoint(state, last_path)
         improved = stopper(va_f1) if stopper else va_f1 > hist.best_f1
