@@ -61,6 +61,17 @@ def repack_jpg_folder(folder: str, resize: Optional[int] = None) -> np.ndarray:
     return np.stack(frames).astype(np.uint8) if frames else np.zeros((0, 0, 0, 3), np.uint8)
 
 
+def _convert_one(args) -> str:
+    """Worker for convert_shots — module-level so mp.Pool can pickle it."""
+    shot, avi_dir, out_dir, resize = args
+    p1 = os.path.join(avi_dir, f"{shot:06d}tv01.avi")
+    p2 = os.path.join(avi_dir, f"{shot:06d}tv02.avi")
+    arr = decode_avi(p1, resize, fallback_path=p2)
+    out = os.path.join(out_dir, f"{shot}.npy")
+    np.save(out, arr)
+    return out
+
+
 def convert_shots(
     avi_dir: str,
     out_dir: str,
@@ -72,22 +83,15 @@ def convert_shots(
     reference naming) into out_dir/<shot>.npy. Parallelized over shots with a
     process pool like the reference (:133-151) when n_workers > 0."""
     os.makedirs(out_dir, exist_ok=True)
-
-    def one(shot: int) -> str:
-        p1 = os.path.join(avi_dir, f"{shot:06d}tv01.avi")
-        p2 = os.path.join(avi_dir, f"{shot:06d}tv02.avi")
-        arr = decode_avi(p1, resize, fallback_path=p2)
-        out = os.path.join(out_dir, f"{shot}.npy")
-        np.save(out, arr)
-        return out
+    work = [(s, avi_dir, out_dir, resize) for s in shots]
 
     if n_workers > 0:
         import multiprocessing as mp
 
         with mp.Pool(n_workers) as pool:
-            outs = pool.map(one, list(shots))
+            outs = pool.map(_convert_one, work)
         return dict(zip(shots, outs))
-    return {s: one(s) for s in shots}
+    return {s: _convert_one(w) for s, w in zip(shots, work)}
 
 
 def repack_dataset(temp_dir: str, out_dir: str, resize: Optional[int] = None) -> Dict[int, str]:
