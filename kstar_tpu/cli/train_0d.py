@@ -44,7 +44,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "serial per-seed sweep processes (exp/*.sh seeds "
                         "40-43) at ~1x wall-clock for 0D models; per-seed "
                         "checkpoints + histories, then the best member "
-                        "continues into eval/extras. Ignores --dp.")
+                        "continues into eval/extras. With --dp the ensemble "
+                        "axis shards over the data devices.")
     return p
 
 
@@ -143,8 +144,13 @@ def main(argv=None):
     else:
         from .common import setup_dp
         state, mesh, put = setup_dp(args, state)
+        put_stack = None
+        if mesh is not None:
+            from ..parallel import put_stack as _ps
+            put_stack = lambda bl: (_ps(mesh, bl[0]), _ps(mesh, bl[1]))
         state, hist = fit(model, state, train_ds, valid_ds, train_cfg, loss_cfg,
-                          tag=tag, sampler=sampler, writer=writer, put=put)
+                          tag=tag, sampler=sampler, writer=writer, put=put,
+                          put_stack=put_stack)
     plot_learning_curve(hist, os.path.join(args.save_dir, f"{tag}_learning_curve.png"))
 
     results = evaluate(model, state, test_ds, loss_cfg,

@@ -24,7 +24,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seeds", type=int, nargs="+", default=None,
                    help="train several seeds SIMULTANEOUSLY (vmap ensemble, "
                         "train/ensemble.py; see cli/train_0d.py). Device "
-                        "memory scales with len(seeds). Ignored with --dp.")
+                        "memory scales with len(seeds) per chip; with --dp "
+                        "the ensemble axis shards over the data devices.")
     add_common_args(p, batch_size=64)
     p.add_argument("--image_size", type=int, default=128)
     # augmentation (reference train_vision_network.py:52-63)
@@ -132,10 +133,14 @@ def main(argv=None):
     pre_train, pre_eval_fn = make_pre_fns(crop, aug, out_dtype=dtype)
 
     if mesh is not None:
-        from ..parallel import put_batch
+        from ..parallel import put_batch, put_stack
         put_raw = lambda bl: (put_batch(mesh, bl[0]), put_batch(mesh, bl[1]))
+        # (K, B, ...) multi-step stacks shard the BATCH axis (axis 1), not
+        # the scan's step axis
+        put_raw_stack = lambda bl: (put_stack(mesh, bl[0]), put_stack(mesh, bl[1]))
     else:
         put_raw = lambda bl: (jnp.asarray(bl[0]), jnp.asarray(bl[1]))
+        put_raw_stack = put_raw
 
     # device-side preprocessor retained for state init / standalone eval
     put_eval = DevicePreprocessor(crop, aug, train=False, out_dtype=dtype, mesh=mesh)
@@ -188,7 +193,7 @@ def main(argv=None):
     else:
         state, hist = fit(model, state, train_ds, valid_ds, train_cfg, loss_cfg,
                           tag=tag, sampler=sampler, writer=writer,
-                          put=put_raw, put_eval=put_raw,
+                          put=put_raw, put_eval=put_raw, put_stack=put_raw_stack,
                           pre_fn=pre_train, pre_fn_eval=pre_eval_fn)
     plot_learning_curve(hist, os.path.join(args.save_dir, f"{tag}_learning_curve.png"))
 

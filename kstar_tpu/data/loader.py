@@ -106,7 +106,7 @@ def threaded_batches(dataset, index_iter, put: Optional[Callable] = None,
 
 
 def grouped_batches(dataset, index_iter, k: int, put: Optional[Callable] = None,
-                    depth: int = 4):
+                    depth: int = 4, put_stack: Optional[Callable] = None):
     """Group the index stream into stacks of ``k`` batches for multi-step
     dispatch (train/loop.py make_scan_steps): yields ``('stack', (batch,
     labels))`` with shapes (k, B, ...) for each full group — gathered in ONE
@@ -114,10 +114,15 @@ def grouped_batches(dataset, index_iter, k: int, put: Optional[Callable] = None,
     ``('single', (batch, labels))`` for the remainder batches, which the
     caller runs through the already-compiled per-step program. Host gathers
     (and optional device puts) run in a background thread like
-    ``threaded_batches``."""
+    ``threaded_batches``. ``put_stack`` (default: ``put``) handles the
+    stacked (k, B, ...) items — on a mesh the BATCH axis is axis 1 there,
+    so a data-parallel caller passes a P(None, 'data') put
+    (parallel.put_stack) to avoid sharding the step axis."""
     import queue
     import threading
 
+    if put_stack is None:
+        put_stack = put
     indices = list(index_iter)
     n_full = len(indices) // k
     q: "queue.Queue" = queue.Queue(maxsize=depth)
@@ -133,8 +138,8 @@ def grouped_batches(dataset, index_iter, k: int, put: Optional[Callable] = None,
     def producer():
         for i in range(n_full):
             item = gather_stack(indices[i * k:(i + 1) * k])
-            if put is not None:
-                item = put(item)
+            if put_stack is not None:
+                item = put_stack(item)
             q.put(("stack", item))
         for idx in indices[n_full * k:]:
             item = dataset.batch(idx)

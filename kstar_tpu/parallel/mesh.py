@@ -44,11 +44,25 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def stack_sharding(mesh: Mesh) -> NamedSharding:
+    """(K, B, ...) multi-step batch stacks (loader.grouped_batches): shard
+    the SECOND axis (the batch) over data — axis 0 is the scan's step axis
+    and must stay whole on every device."""
+    return NamedSharding(mesh, P(None, DATA_AXIS))
+
+
 def put_batch(mesh: Mesh, batch):
     """device_put a host batch (array / dict / tuple pytree) with the batch
     axis sharded over 'data' — the per-host input-sharding equivalent of the
     reference's DistributedSampler (src/distributed.py:20-27)."""
     sh = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(np.asarray(x), sh), batch)
+
+
+def put_stack(mesh: Mesh, batch):
+    """device_put a (K, B, ...) batch stack with the BATCH axis sharded
+    (see stack_sharding)."""
+    sh = stack_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(np.asarray(x), sh), batch)
 
 

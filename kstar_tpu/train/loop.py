@@ -216,7 +216,8 @@ def _loss_aux(loss_cfg: LossConfig, cls_counts: np.ndarray, epoch: int, num_epoc
 
 def run_train_epoch(train_step, state, dataset, batch_size, rng, weight, m_list,
                     gb_w, sampler=None, put=None, prefetch=True,
-                    scan_step=None, steps_per_dispatch: int = 1):
+                    scan_step=None, steps_per_dispatch: int = 1,
+                    put_stack=None):
     """One training epoch, fully pipelined: batches are gathered (and put on
     device) ahead of consumption, and per-step losses/preds stay ON DEVICE —
     the host fetches them once at epoch end, so step N+1 dispatches while
@@ -235,7 +236,8 @@ def run_train_epoch(train_step, state, dataset, batch_size, rng, weight, m_list,
 
     if scan_step is not None and steps_per_dispatch > 1:
         for kind, (batch, labels) in grouped_batches(dataset, idx_iter,
-                                                     steps_per_dispatch, put):
+                                                     steps_per_dispatch, put,
+                                                     put_stack=put_stack):
             if kind == "stack":
                 state, losses_k, preds_k = scan_step(
                     state, batch, jnp.asarray(labels), weight, m_list, gb_w)
@@ -324,6 +326,7 @@ def fit(
     put_eval=None,
     pre_fn=None,
     pre_fn_eval=None,
+    put_stack=None,
 ) -> Tuple[TrainState, History]:
     """Epoch driver covering the reference's ``train`` and ``train_DRW``
     (src/train.py:147-274, :277-422): per-epoch train/valid, metric logging,
@@ -355,7 +358,7 @@ def fit(
         state, tr_loss, tr_acc, tr_f1 = run_train_epoch(
             train_step, state, train_ds, train_cfg.batch_size, rng,
             weight, m_list, gb_w, sampler=sampler, put=put,
-            scan_step=scan_step, steps_per_dispatch=k)
+            scan_step=scan_step, steps_per_dispatch=k, put_stack=put_stack)
         va_loss, va_acc, va_f1 = run_eval_epoch(
             eval_step, state, valid_ds, train_cfg.batch_size,
             weight, m_list, gb_w, put=put_eval if put_eval is not None else put)

@@ -272,3 +272,44 @@ class TestScanSteps:
         assert len(hist.train_loss) == 1 and np.isfinite(hist.train_loss[0])
         # every training batch was consumed: step count == floor(n/B)
         assert int(state.step) == len(train_ds) // 16
+
+
+class TestScanWithDataParallel:
+    def test_scan_stack_sharding_matches_single_device(self, ts_setup, small_model):
+        """--dp + --steps_per_dispatch: the (K, B, ...) stack must shard the
+        BATCH axis (parallel.put_stack), and the scanned dp run must equal
+        the single-device scan run (SGD; sync-BN semantics hold because the
+        global batch is what gets sharded)."""
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from kstar_tpu.parallel import (make_mesh, put_batch, put_stack,
+                                        replicate_state, stack_sharding)
+        from kstar_tpu.train.loop import make_scan_steps
+
+        train_ds, _, _ = ts_setup
+        x, _ = train_ds.batch(np.arange(8))
+        opt = OptimConfig(lr=1e-3, optimizer="SGD")
+        loss_cfg = LossConfig(loss_type="CE")
+        mesh = make_mesh(MeshConfig(data=8, model=1), jax.devices()[:8])
+        w = jnp.ones(2); m = jnp.asarray([0.3, 0.1]); gb = jnp.zeros(3)
+
+        rng = np.random.default_rng(0)
+        idxs = [rng.permutation(len(train_ds))[:8] for _ in range(2)]
+        b, y = train_ds.batch(np.concatenate(idxs))
+        bs, ys = b.reshape((2, 8) + b.shape[1:]), y.reshape(2, 8)
+
+        scan = make_scan_steps(small_model, loss_cfg)
+        s1 = create_train_state(small_model, jnp.asarray(x), jax.random.key(0), opt)
+        s1, l1, _ = scan(s1, jnp.asarray(bs), jnp.asarray(ys), w, m, gb)
+
+        s2 = replicate_state(
+            create_train_state(small_model, jnp.asarray(x), jax.random.key(0), opt),
+            mesh)
+        bs_d, ys_d = put_stack(mesh, bs), put_stack(mesh, ys)
+        assert bs_d.sharding.is_equivalent_to(stack_sharding(mesh), bs_d.ndim)
+        s2, l2, _ = scan(s2, bs_d, ys_d, w, m, gb)
+
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-5)
+        for a, c in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                       rtol=1e-5, atol=1e-6)
