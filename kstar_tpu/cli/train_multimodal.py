@@ -113,13 +113,25 @@ def main(argv=None):
     # preprocessing dead-code-eliminated from their graphs.
     from ..data.augment import make_pre_fns
     pre_train, pre_eval_fn = make_pre_fns(crop, AugmentConfig(), out_dtype=dtype)
-    put_raw = lambda bl: (jax.tree.map(jnp.asarray, bl[0]), jnp.asarray(bl[1]))
+    mesh = None
+    if args.dp:
+        from ..config import MeshConfig
+        from ..parallel import make_mesh
+        mesh = make_mesh(MeshConfig(data=args.dp, model=1), jax.devices()[: args.dp])
+    if mesh is not None:
+        from ..parallel import put_batch
+        put_raw = lambda bl: (put_batch(mesh, bl[0]), put_batch(mesh, bl[1]))
+    else:
+        put_raw = lambda bl: (jax.tree.map(jnp.asarray, bl[0]), jnp.asarray(bl[1]))
 
     b0, _ = put_eval(train_ds.batch(np.arange(min(args.batch_size, len(train_ds)))))
     steps = max(len(train_ds) // args.batch_size, 1)
     state = create_train_state(model, None, jax.random.key(args.random_seed),
                                optim_cfg, steps_per_epoch=steps,
                                apply_args=(b0["video"], b0["0D"]))
+    if mesh is not None:
+        from ..parallel import replicate_state
+        state = replicate_state(state, mesh)
 
     name = f"{args.model_type}{'_GB' if args.use_GB else ''}"
     tag = args.tag or make_tag(name, args, loss_cfg, train_cfg)
