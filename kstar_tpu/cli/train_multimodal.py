@@ -119,10 +119,13 @@ def main(argv=None):
         from ..parallel import make_mesh
         mesh = make_mesh(MeshConfig(data=args.dp, model=1), jax.devices()[: args.dp])
     if mesh is not None:
-        from ..parallel import put_batch
+        from ..parallel import put_batch, put_stack
         put_raw = lambda bl: (put_batch(mesh, bl[0]), put_batch(mesh, bl[1]))
+        # (K, B, ...) stacks shard the batch axis (axis 1), not the step axis
+        put_raw_stack = lambda bl: (put_stack(mesh, bl[0]), put_stack(mesh, bl[1]))
     else:
         put_raw = lambda bl: (jax.tree.map(jnp.asarray, bl[0]), jnp.asarray(bl[1]))
+        put_raw_stack = put_raw
 
     b0, _ = put_eval(train_ds.batch(np.arange(min(args.batch_size, len(train_ds)))))
     steps = max(len(train_ds) // args.batch_size, 1)
@@ -153,6 +156,7 @@ def main(argv=None):
                                    epoch_per_gb_estimate=args.epoch_per_GB_estimate,
                                    n_epochs_gb_estimate=args.n_epochs_GB_estimate,
                                    sampler=sampler, writer=writer, put=put_raw,
+                                   put_stack=put_raw_stack,
                                    pre_fn=pre_train, pre_fn_eval=pre_eval_fn)
         print(f"final GB weights: {gb_w}")
         model_type = "multi-GB"
@@ -160,6 +164,7 @@ def main(argv=None):
         state, hist = fit(model, state, train_ds, valid_ds, train_cfg, loss_cfg,
                           model_type="multi", tag=tag, sampler=sampler,
                           writer=writer, put=put_raw, put_eval=put_raw,
+                          put_stack=put_raw_stack,
                           pre_fn=pre_train, pre_fn_eval=pre_eval_fn)
         model_type = "multi"
 

@@ -204,6 +204,7 @@ def fit_gb(
     put=None,
     pre_fn=None,
     pre_fn_eval=None,
+    put_stack=None,
 ) -> Tuple[TrainState, History, Dict[str, float]]:
     """train_GB / train_GB_dynamic driver (reference :165-446). Initial
     weights default to the reference's w_fusion=.5, w_vis=.1, w_0D=.4
@@ -246,7 +247,7 @@ def fit_gb(
         state, tr_loss, tr_acc, tr_f1 = run_train_epoch(
             train_step, state, train_ds, train_cfg.batch_size, rng,
             weight, m_list, gb_arr, sampler=sampler, put=put,
-            scan_step=scan_step, steps_per_dispatch=k)
+            scan_step=scan_step, steps_per_dispatch=k, put_stack=put_stack)
         va_loss, va_acc, va_f1 = run_eval_epoch(
             eval_step, state, valid_ds, train_cfg.batch_size, weight, m_list, gb_arr, put=put)
 
