@@ -138,6 +138,12 @@ def main(argv=None):
 
     name = f"{args.model_type}{'_GB' if args.use_GB else ''}"
     tag = args.tag or make_tag(name, args, loss_cfg, train_cfg)
+    if args.resume:
+        from ..train import load_checkpoint
+        last = os.path.join(args.weight_dir, f"{tag}_last.ckpt")
+        if os.path.exists(last):
+            state = load_checkpoint(state, last)
+            print(f"resumed from {last} at step {int(state.step)}")
     writer = MetricWriter(os.path.join(args.save_dir, "tensorboard", tag))
     sampler = ImbalancedSampler(train_ds.labels) if args.use_sampling else None
 
