@@ -23,6 +23,19 @@ LOGIT_DISRUPT = 0.7
 LOGIT_NORMAL = -0.3
 
 
+@pytest.fixture()
+def patched_cv2_imread():
+    """Point cv2.imread at constant frames for the reference's jpg loader,
+    restoring the REAL cv2 (present in this image) afterwards — without the
+    restore, later tests that decode actual images see 256x256 zeros."""
+    import sys as _sys
+    mod = _sys.modules.get("cv2")
+    old = getattr(mod, "imread", None) if mod else None
+    yield
+    if mod is not None:
+        mod.imread = old
+
+
 @pytest.fixture(scope="module")
 def ref_utility():
     stubs = {
@@ -115,7 +128,7 @@ class TestGolden0DProbCurve:
 
 
 class TestGoldenMultimodalProbCurve:
-    def test_alignment_matches_reference(self, ref_utility, tiny_dataset, tmp_path):
+    def test_alignment_matches_reference(self, ref_utility, tiny_dataset, tmp_path, patched_cv2_imread):
         import torch
 
         import jax
@@ -218,7 +231,7 @@ class TestGoldenMultimodalProbCurve:
 
 
 class TestGoldenVideoProbCurve:
-    def test_alignment_matches_reference(self, ref_utility, tiny_dataset, tmp_path):
+    def test_alignment_matches_reference(self, ref_utility, tiny_dataset, tmp_path, patched_cv2_imread):
         import torch
 
         import jax
