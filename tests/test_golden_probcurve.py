@@ -45,6 +45,11 @@ def ref_utility():
     }
     for name, attrs in stubs.items():
         if name not in sys.modules:
+            try:
+                __import__(name)   # prefer the real module (cv2 exists here)
+                continue
+            except ImportError:
+                pass
             mod = types.ModuleType(name)
             for k, v in attrs.items():
                 setattr(mod, k, v)

@@ -28,6 +28,11 @@ def ref_dataset_mod():
                                  "GaussianBlur": None, "convertScaleAbs": None}),
                         ):
         if name not in sys.modules:
+            try:
+                __import__(name)   # prefer the real module (cv2 exists here)
+                continue
+            except ImportError:
+                pass
             mod = types.ModuleType(name)
             for k, v in attrs.items():
                 setattr(mod, k, v)
