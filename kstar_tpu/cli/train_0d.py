@@ -71,6 +71,10 @@ def model_config(args, n_features: int):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.seeds and len(args.seeds) == 1:
+        # a single --seeds value trains the normal path with that seed
+        # (don't silently fall back to --random_seed)
+        args.random_seed, args.seeds = args.seeds[0], None
 
     import jax
     import jax.numpy as jnp

@@ -87,13 +87,21 @@ def threaded_batches(dataset, index_iter, put: Optional[Callable] = None,
     indices = list(index_iter)
     SENTINEL = object()
 
+    err: list = []
+
     def producer():
-        for idx in indices:
-            item = dataset.batch(idx)
-            if put is not None:
-                item = put(item)
-            q.put(item)
-        q.put(SENTINEL)
+        # sentinel ALWAYS enqueued (even if batch/put raises) so the
+        # consumer never blocks forever; the exception re-raises below
+        try:
+            for idx in indices:
+                item = dataset.batch(idx)
+                if put is not None:
+                    item = put(item)
+                q.put(item)
+        except BaseException as e:  # noqa: BLE001 — relayed to consumer
+            err.append(e)
+        finally:
+            q.put(SENTINEL)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
@@ -103,6 +111,8 @@ def threaded_batches(dataset, index_iter, put: Optional[Callable] = None,
             break
         yield item
     t.join()
+    if err:
+        raise err[0]
 
 
 def grouped_batches(dataset, index_iter, k: int, put: Optional[Callable] = None,
@@ -116,8 +126,11 @@ def grouped_batches(dataset, index_iter, k: int, put: Optional[Callable] = None,
     (and optional device puts) run in a background thread like
     ``threaded_batches``. ``put_stack`` (default: ``put``) handles the
     stacked (k, B, ...) items — on a mesh the BATCH axis is axis 1 there,
-    so a data-parallel caller passes a P(None, 'data') put
-    (parallel.put_stack) to avoid sharding the step axis."""
+    so a data-parallel caller MUST pass a P(None, 'data') put
+    (parallel.put_stack): letting a batch-axis-sharding ``put`` default in
+    for the stack would silently shard the scan/STEP axis instead,
+    triggering a full reshard + collectives inside every dispatch. The
+    CLIs wire this; library callers on a mesh should too."""
     import queue
     import threading
 
@@ -135,18 +148,24 @@ def grouped_batches(dataset, index_iter, k: int, put: Optional[Callable] = None,
                  else shp(batch))
         return batch, labels.reshape(k, -1)
 
+    err: list = []
+
     def producer():
-        for i in range(n_full):
-            item = gather_stack(indices[i * k:(i + 1) * k])
-            if put_stack is not None:
-                item = put_stack(item)
-            q.put(("stack", item))
-        for idx in indices[n_full * k:]:
-            item = dataset.batch(idx)
-            if put is not None:
-                item = put(item)
-            q.put(("single", item))
-        q.put(SENTINEL)
+        try:
+            for i in range(n_full):
+                item = gather_stack(indices[i * k:(i + 1) * k])
+                if put_stack is not None:
+                    item = put_stack(item)
+                q.put(("stack", item))
+            for idx in indices[n_full * k:]:
+                item = dataset.batch(idx)
+                if put is not None:
+                    item = put(item)
+                q.put(("single", item))
+        except BaseException as e:  # noqa: BLE001 — relayed to consumer
+            err.append(e)
+        finally:
+            q.put(SENTINEL)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
@@ -156,6 +175,8 @@ def grouped_batches(dataset, index_iter, k: int, put: Optional[Callable] = None,
             break
         yield item
     t.join()
+    if err:
+        raise err[0]
 
 
 def prefetch_to_device(iterator, put: Callable, depth: int = 2):

@@ -45,21 +45,29 @@ from ..config import FPS, PIXEL_MEAN_BGR
 
 def moving_average(x: np.ndarray, k: int, method: str = "backward") -> np.ndarray:
     """Moving-average smoothing, clipped to [0, 1]
-    (reference moving_avarage_smoothing, src/utils/utility.py:872-893)."""
+    (reference moving_avarage_smoothing, src/utils/utility.py:872-893).
+
+    Exact semantics of the reference's per-sample loop — backward:
+    S[t] = mean(x[:t+1]) for t < k else sum(x[t-k:t]) / k (note: excludes
+    x[t]); center: expanding head/tail means with a [t-hw, t+hw) body —
+    vectorized as one float64 cumulative sum (O(n) instead of O(n*k);
+    prob curves run this over 10^4-10^5 fine-grid samples per shot)."""
     n = len(x)
-    s = np.zeros(n)
+    if n == 0:
+        return np.zeros(0)
+    c = np.concatenate([[0.0], np.cumsum(np.asarray(x, np.float64))])
+    t = np.arange(n)
+    head = c[t + 1] / (t + 1)                       # mean(x[:t+1])
     if method == "backward":
-        for t in range(n):
-            s[t] = np.mean(x[: t + 1]) if t < k else np.sum(x[t - k: t]) / k
+        lo = np.maximum(t - k, 0)
+        s = np.where(t < k, head, (c[t] - c[lo]) / k)
     else:
         hw = k // 2
-        for t in range(n):
-            if t < hw:
-                s[t] = np.mean(x[: t + 1])
-            elif t < n - hw:
-                s[t] = np.mean(x[t - hw: t + hw])
-            else:
-                s[t] = np.mean(x[t - hw:])
+        lo = np.maximum(t - hw, 0)
+        hi = np.minimum(t + hw, n)
+        body = (c[hi] - c[lo]) / np.maximum(hi - lo, 1)  # mean(x[t-hw:t+hw])
+        tail = (c[n] - c[lo]) / np.maximum(n - lo, 1)    # mean(x[t-hw:])
+        s = np.where(t < hw, head, np.where(t < n - hw, body, tail))
     return np.clip(s, 0, 1)
 
 

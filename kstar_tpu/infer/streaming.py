@@ -1,4 +1,4 @@
-"""Real-time streaming prediction: one frame in, one probability out.
+"""Real-time streaming prediction: frames in, probabilities out.
 
 The deployment mode behind the reference's "real-time experiment" GIFs
 (reference generate_real_time_experiment,
@@ -6,7 +6,24 @@ src/visualization/visualize_application.py:190-351), restructured for
 serving: a device-resident rolling window buffer is updated in place with
 each arriving frame (donated — no reallocation), the window forward runs in
 the same jitted step, and the alarm fires on threshold crossing after the
-startup-suppression window. Frame-to-alarm latency = one step latency.
+startup-suppression window.
+
+Two push modes:
+
+* ``push`` — one frame per dispatch. Frame-to-alarm latency = one step
+  latency. Right for a directly-attached host, where dispatch overhead is
+  tens of microseconds.
+* ``push_block`` — ``k`` frames per dispatch (micro-batching). The k
+  overlapping windows are gathered on device from an extended ring buffer
+  and run as ONE batched forward, so per-frame cost is
+  ``dispatch_overhead / k + batched_compute / k``. Through a relay with
+  ~25 ms round-trips, k=8 holds the 4.76 ms frame budget at 210 fps
+  (measured: PERFORMANCE.md "Streaming" table). Numerically identical to
+  k sequential ``push`` calls (deterministic eval forward; BN uses running
+  stats). The trade: the alarm for the i-th frame of a block is known only
+  after the block completes, so worst-case frame-to-alarm delay is
+  ``(k-1) / fps + step_latency`` — at 210 fps and k=8 that bound is
+  ~33 ms + step, far inside the reference's multi-ms alarm windows.
 """
 
 from __future__ import annotations
@@ -21,19 +38,21 @@ from ..config import FPS, PIXEL_MEAN_BGR
 
 
 class StreamingPredictor:
-    """Push frames (or 0D samples) one at a time; get p_disrupt back."""
+    """Push frames (or 0D samples) one at a time — or ``block_size`` at a
+    time — and get p_disrupt back."""
 
     def __init__(self, model, params, batch_stats, seq_len: int = 21,
                  crop_size: int = 128, threshold: float = 0.5,
                  compute_dtype=jnp.bfloat16, fps: float = FPS,
                  suppress_s: float = 1.0, modality: str = "video",
-                 n_features: int = 18):
+                 n_features: int = 18, block_size: int = 1):
         self.seq_len = seq_len
         self.crop_size = crop_size
         self.threshold = threshold
         self.fps = fps
         self.suppress_n = int(fps * suppress_s)
         self.modality = modality
+        self.block_size = int(block_size)
         self.n_frames_seen = 0
         self.alarm_time: Optional[float] = None
 
@@ -44,32 +63,55 @@ class StreamingPredictor:
             buf_shape = (seq_len, crop_size, crop_size, 3)
             self._buffer = jnp.zeros(buf_shape, jnp.uint8)
 
-            def step(buffer, frame_u8):
-                buffer = jnp.concatenate([buffer[1:], frame_u8[None]], axis=0)
-                x = (buffer.astype(compute_dtype) - mean)[None]
+            def block_step(buffer, frames_u8):
+                # windows i = ext[i+1 : i+1+seq_len] for i in [0, k): the k
+                # overlapping stride-1 windows ending at each new frame,
+                # gathered on device and run as one batched forward
+                k = frames_u8.shape[0]
+                ext = jnp.concatenate([buffer, frames_u8], axis=0)
+                idx = jnp.arange(k)[:, None] + jnp.arange(seq_len)[None, :] + 1
+                x = ext[idx].astype(compute_dtype) - mean
                 logits = model.apply(variables, x, train=False)
-                p = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[0, 0]
-                return buffer, p
+                p = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[:, 0]
+                return ext[k:], p
         else:
             self._buffer = jnp.zeros((seq_len, n_features), jnp.float32)
 
-            def step(buffer, sample):
-                buffer = jnp.concatenate([buffer[1:], sample[None]], axis=0)
-                logits = model.apply(variables, buffer[None], train=False)
-                p = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[0, 0]
-                return buffer, p
+            def block_step(buffer, samples):
+                k = samples.shape[0]
+                ext = jnp.concatenate([buffer, samples], axis=0)
+                idx = jnp.arange(k)[:, None] + jnp.arange(seq_len)[None, :] + 1
+                logits = model.apply(variables, ext[idx], train=False)
+                p = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[:, 0]
+                return ext[k:], p
 
-        self._step = jax.jit(step, donate_argnums=(0,))
+        # one program per block size used (k is a static shape); serving
+        # uses a fixed k so this compiles once for push and once for
+        # push_block
+        self._step = jax.jit(block_step, donate_argnums=(0,))
 
-    def _prep(self, frame: np.ndarray) -> jnp.ndarray:
+    def _prep(self, frames: np.ndarray) -> jnp.ndarray:
+        """Host-side prep of a (k, H, W, 3) frame block / (k, F) samples."""
         if self.modality != "video":
-            return jnp.asarray(frame, jnp.float32)
-        H, W = frame.shape[0], frame.shape[1]
+            return jnp.asarray(frames, jnp.float32)
+        H, W = frames.shape[1], frames.shape[2]
         if H > self.crop_size:
             y0 = H // 2 - self.crop_size // 2
             x0 = W // 2 - self.crop_size // 2
-            frame = frame[y0:y0 + self.crop_size, x0:x0 + self.crop_size]
-        return jnp.asarray(frame, jnp.uint8)
+            frames = frames[:, y0:y0 + self.crop_size, x0:x0 + self.crop_size]
+        return jnp.asarray(frames, jnp.uint8)
+
+    def _account(self, probs: np.ndarray) -> np.ndarray:
+        """Per-frame alarm bookkeeping shared by both push modes."""
+        alarms = np.zeros(len(probs), dtype=bool)
+        floor = max(self.suppress_n, self.seq_len)
+        for i, p in enumerate(probs):
+            self.n_frames_seen += 1
+            suppressed = self.n_frames_seen <= floor
+            alarms[i] = (not suppressed) and p > self.threshold
+            if alarms[i] and self.alarm_time is None:
+                self.alarm_time = self.n_frames_seen / self.fps
+        return alarms
 
     def push(self, frame: np.ndarray) -> Tuple[float, bool]:
         """Feed one frame / 0D sample. Returns (p_disrupt, alarm_now).
@@ -77,15 +119,20 @@ class StreamingPredictor:
         The first seq_len pushes fill the buffer (probability reported but a
         window of stale zeros contributes); startup suppression zeroes
         alarms within the first second, like the offline path."""
-        self._buffer, p = self._step(self._buffer, self._prep(frame))
-        p = float(p)
-        self.n_frames_seen += 1
+        self._buffer, p = self._step(self._buffer, self._prep(frame[None]))
+        probs = np.asarray(p, np.float64)
+        alarms = self._account(probs)
+        return float(probs[0]), bool(alarms[0])
 
-        suppressed = self.n_frames_seen <= max(self.suppress_n, self.seq_len)
-        alarm = (not suppressed) and p > self.threshold
-        if alarm and self.alarm_time is None:
-            self.alarm_time = self.n_frames_seen / self.fps
-        return p, alarm
+    def push_block(self, frames: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """Feed k frames (video: (k, H, W, 3) uint8; 0D: (k, F)) in ONE
+        dispatch. Returns (probs (k,), alarms (k,) bool) — identical values
+        to k sequential ``push`` calls. k is a static shape: use a fixed
+        block size (``self.block_size`` is the caller's configured default)
+        to compile once."""
+        self._buffer, p = self._step(self._buffer, self._prep(frames))
+        probs = np.asarray(p, np.float64)
+        return probs, self._account(probs)
 
     def reset(self) -> None:
         self._buffer = jnp.zeros_like(self._buffer)

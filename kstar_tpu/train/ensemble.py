@@ -41,7 +41,7 @@ def create_ensemble_state(model, sample_batch, seeds, optim_cfg: OptimConfig,
     ``mesh``: shard the ensemble axis over the mesh's 'data' devices —
     members are independent, so GSPMD partitions the vmapped step with NO
     collectives (each chip trains its local members; the shared batch
-    replicates). len(seeds) must divide the data-axis size evenly.
+    replicates). The data-axis size must evenly divide len(seeds).
     """
     states = [create_train_state(model, sample_batch, jax.random.key(int(s)),
                                  optim_cfg, steps_per_epoch=steps_per_epoch,

@@ -105,8 +105,10 @@ def create_train_state(model, sample_batch, rng: jax.Array, optim_cfg: OptimConf
         with jax.default_device(cpu), jax.disable_jit():
             variables = model.init(rngs, *host_args, train=False)
             opt_state = tx.init(variables["params"])
+        # local_devices: on multi-host runs jax.devices()[0] can be a
+        # non-addressable device on hosts > 0, where device_put would raise
         variables, opt_state = jax.device_put((variables, opt_state),
-                                              jax.devices()[0])
+                                              jax.local_devices()[0])
     else:
         variables = model.init(
             {"params": init_rng, "noise": noise_rng, "dropout": drop_rng},
