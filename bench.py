@@ -1,15 +1,25 @@
-"""Headline benchmark: continuous disruption-prediction clip throughput.
+"""Headline benchmark: the three BASELINE.md target metrics.
 
-Measures the north-star path (BASELINE.md): stride-1 sliding-window sweep of
-the flagship ViViT over a whole synthetic shot — the reference runs this as
-batch-1 Python forwards (reference visualize_application.py:248-262), this
-framework as on-device batched window gathers (kstar_tpu/infer/continuous.py).
+1. **clips/s continuous inference** (primary): stride-1 sliding-window sweep
+   of the flagship ViViT over a whole synthetic shot — the reference runs
+   this as batch-1 Python forwards (reference
+   visualize_application.py:248-262), this framework as on-device batched
+   window gathers (kstar_tpu/infer/continuous.py). Baseline: an equivalent
+   torch-CPU ViViT driven exactly the way the reference drives it
+   (per-window host crop+normalize, batch size 1).
+2. **p50 frame-to-alarm latency**: the streaming path
+   (infer/streaming.py push_block, k=16 through this relay), counting BOTH
+   the micro-batch accumulation wait ((k-1-i)/fps for the i-th frame of a
+   block) and the dispatch itself. Baseline: the torch batch-1 window
+   forward (its per-window time IS its frame-to-alarm latency).
+3. **hard-fixture test macro-F1**: MLSTM-FCN (the CPU-runnable config
+   BASELINE.md:27 names) trained on the difficulty=1.0 synthetic fixture,
+   vs an identically-trained torch-CPU mirror of the same architecture.
 
-Baseline: an equivalent torch-CPU ViViT at the same shape driven exactly the
-way the reference drives it (per-window host crop+normalize, batch size 1).
-The number is cached in BENCH_baseline.json (measured once per machine).
+Baselines are cached in BENCH_baseline.json (measured once per machine;
+missing keys are computed and added).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extras"}.
 """
 
 import json
@@ -103,23 +113,219 @@ def measure_torch_baseline(frames: np.ndarray) -> float:
     return BASELINE_WINDOWS / elapsed
 
 
-def get_baseline(frames: np.ndarray) -> float:
+def get_baseline(frames: np.ndarray) -> dict:
+    """Load the cached torch-CPU baselines; compute + cache missing keys."""
+    base = {}
     if os.path.exists(BASELINE_FILE):
         with open(BASELINE_FILE) as f:
-            return json.load(f)["torch_cpu_clips_per_s"]
-    clips_per_s = measure_torch_baseline(frames)
-    with open(BASELINE_FILE, "w") as f:
-        json.dump({"torch_cpu_clips_per_s": clips_per_s,
-                   "config": {"model": "ViViT", "seq_len": SEQ_LEN, "crop": CROP,
-                              "batch": 1, "threads": os.cpu_count()}}, f, indent=2)
-    return clips_per_s
+            base = json.load(f)
+    changed = False
+    if "torch_cpu_clips_per_s" not in base:
+        base["torch_cpu_clips_per_s"] = measure_torch_baseline(frames)
+        base["config"] = {"model": "ViViT", "seq_len": SEQ_LEN, "crop": CROP,
+                          "batch": 1, "threads": os.cpu_count()}
+        changed = True
+    if "torch_cpu_f1" not in base:
+        base["torch_cpu_f1"] = measure_torch_f1(_f1_data())
+        changed = True
+    if changed:
+        with open(BASELINE_FILE, "w") as f:
+            json.dump(base, f, indent=2)
+    return base
+
+
+# ---------------------------------------------------------------------------
+# Hard-fixture F1: kstar_tpu MLSTM-FCN vs an identically-trained torch mirror
+# ---------------------------------------------------------------------------
+
+F1_EPOCHS = 15
+F1_BATCH = 64
+F1_FCN, F1_LSTM = 32, 32
+
+
+def _f1_data():
+    """Deterministic hard-fixture 0D window arrays (train/valid/test)."""
+    from kstar_tpu.config import Schema
+    from kstar_tpu.data import TSDataset, prepare_0d_dataset, synthetic
+
+    cols = Schema.INPUT_FEATURES
+    shots, disrupt_df, ts_df = synthetic.make_dataset(
+        n_shots=16, n_frames=256, height=16, width=16, seed=11, difficulty=1.0)
+    df_tr, df_va, df_te, scaler = prepare_0d_dataset(ts_df, cols, test_shot=None)
+    mk = lambda df: TSDataset(df, disrupt_df, cols, seq_len=SEQ_LEN, dist=3,
+                              scaler=scaler)
+
+    def arrays(ds):
+        X, y = ds.batch(np.arange(len(ds)))
+        return np.asarray(X, np.float32), np.asarray(y, np.int64)
+
+    return arrays(mk(df_tr)), arrays(mk(df_va)), arrays(mk(df_te))
+
+
+def _focal_alpha(y: np.ndarray) -> np.ndarray:
+    from kstar_tpu.losses import inverse_freq_weights
+    return inverse_freq_weights(np.bincount(y, minlength=2))
+
+
+def measure_torch_f1(data) -> float:
+    """torch-CPU mirror of kstar_tpu/models/mlstm_fcn.py, trained with the
+    same protocol (Adam 1e-3, weighted Focal gamma=2, sum reduction,
+    F1_EPOCHS epochs) on the same windows. Architecture mirrors OUR flax
+    module (conv/SE/BiLSTM+attention-pool/converter/head), which itself
+    rebuilds reference src/models/MLSTM_FCN.py."""
+    import torch
+    import torch.nn as nn
+
+    (Xtr, ytr), _, (Xte, yte) = data
+    nF = Xtr.shape[-1]
+    fcn, lstm, red = F1_FCN, F1_LSTM, 16
+    torch.manual_seed(0)
+    torch.set_num_threads(os.cpu_count() or 8)
+
+    class SE(nn.Module):
+        def __init__(self, c):
+            super().__init__()
+            self.a = nn.Linear(c, max(c // red, 1), bias=False)
+            self.b = nn.Linear(max(c // red, 1), c, bias=False)
+
+        def forward(self, x):  # (B, T, C)
+            s = torch.sigmoid(self.b(torch.relu(self.a(x.mean(dim=1)))))
+            return x * s[:, None, :]
+
+    class Net(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.c1 = nn.Conv1d(nF, fcn, 5)
+            self.b1 = nn.BatchNorm1d(fcn)
+            self.s1 = SE(fcn)
+            self.c2 = nn.Conv1d(fcn, 2 * fcn, 5)
+            self.b2 = nn.BatchNorm1d(2 * fcn)
+            self.s2 = SE(2 * fcn)
+            self.rnn = nn.LSTM(nF, lstm, batch_first=True, bidirectional=True)
+            self.w_s1 = nn.Linear(2 * lstm, lstm)
+            self.w_s2 = nn.Linear(lstm, lstm)
+            feat = 2 * lstm + 2 * fcn
+            self.conv_out = nn.Linear(feat, feat)
+            self.fc1 = nn.Linear(feat, feat // 2)
+            self.bn = nn.BatchNorm1d(feat // 2)
+            self.fc2 = nn.Linear(feat // 2, 2)
+
+        def forward(self, x):  # (B, T, F)
+            # LeakyReLU(alpha=1.0) — the module's default slope — is the
+            # identity, matching the flax MLSTMFCN exactly
+            f = self.b1(self.c1(x.transpose(1, 2)))
+            f = self.s1(f.transpose(1, 2))
+            f = self.b2(self.c2(f.transpose(1, 2)))
+            f = self.s2(f.transpose(1, 2)).mean(dim=1)
+            h, _ = self.rnn(x)
+            a = torch.softmax(self.w_s2(torch.tanh(self.w_s1(h))), dim=-1)
+            r = torch.einsum("btd,bte->bde", a, h).mean(dim=1)
+            z = self.conv_out(torch.cat([r, f], dim=-1))
+            return self.fc2(self.bn(self.fc1(z)))
+
+    model = Net()
+    opt = torch.optim.Adam(model.parameters(), lr=1e-3)
+    alpha = torch.tensor(_focal_alpha(ytr))
+
+    def focal(logits, y):
+        ce = nn.functional.cross_entropy(logits, y, reduction="none")
+        p = torch.exp(-ce)
+        return (alpha[y] * (1 - p) ** 2 * ce).sum()
+
+    Xt, yt = torch.from_numpy(Xtr), torch.from_numpy(ytr)
+    rng = np.random.default_rng(0)
+    for _ in range(F1_EPOCHS):
+        order = rng.permutation(len(yt))
+        for i in range(0, len(order) - F1_BATCH + 1, F1_BATCH):
+            idx = order[i:i + F1_BATCH]
+            opt.zero_grad()
+            loss = focal(model(Xt[idx]), yt[idx])
+            loss.backward()
+            opt.step()
+
+    from kstar_tpu.train.metrics import macro_f1
+    model.eval()
+    with torch.no_grad():
+        preds = model(torch.from_numpy(Xte)).argmax(dim=-1).numpy()
+    return macro_f1(yte, preds)
+
+
+def measure_f1_tpu() -> float:
+    """kstar_tpu MLSTM-FCN trained on the hard fixture with the standard
+    fit() driver, evaluated at argmax like the torch mirror."""
+    import jax
+    import jax.numpy as jnp
+
+    from kstar_tpu.config import (LossConfig, MLSTMFCNConfig, OptimConfig,
+                                  Schema, TrainConfig)
+    from kstar_tpu.data import TSDataset, prepare_0d_dataset, synthetic
+    from kstar_tpu.eval import evaluate
+    from kstar_tpu.models import build_0d_model
+    from kstar_tpu.train import create_train_state, fit
+
+    cols = Schema.INPUT_FEATURES
+    shots, disrupt_df, ts_df = synthetic.make_dataset(
+        n_shots=16, n_frames=256, height=16, width=16, seed=11, difficulty=1.0)
+    df_tr, df_va, df_te, scaler = prepare_0d_dataset(ts_df, cols, test_shot=None)
+    mk = lambda df: TSDataset(df, disrupt_df, cols, seq_len=SEQ_LEN, dist=3,
+                              scaler=scaler)
+    train_ds, valid_ds, test_ds = mk(df_tr), mk(df_va), mk(df_te)
+
+    cfg = MLSTMFCNConfig(n_features=len(cols), fcn_dim=F1_FCN, seq_len=SEQ_LEN,
+                         lstm_dim=F1_LSTM, lstm_n_layers=1)
+    model = build_0d_model("MLSTM_FCN", cfg)
+    x0, _ = train_ds.batch(np.arange(min(F1_BATCH, len(train_ds))))
+    state = create_train_state(model, jnp.asarray(x0), jax.random.key(0),
+                               OptimConfig(lr=1e-3))
+    loss_cfg = LossConfig(loss_type="Focal", use_weighting=True)
+    train_cfg = TrainConfig(batch_size=F1_BATCH, num_epoch=F1_EPOCHS,
+                            weight_dir="/tmp/bench_w", early_stopping=False,
+                            verbose=0)
+    state, _ = fit(model, state, train_ds, valid_ds, train_cfg, loss_cfg,
+                   tag="bench_f1")
+    return float(evaluate(model, state, test_ds, loss_cfg)["macro_f1"])
+
+
+# ---------------------------------------------------------------------------
+# Streaming frame-to-alarm latency (micro-batched push)
+# ---------------------------------------------------------------------------
+
+STREAM_K = 16  # holds the 4.76 ms/frame budget through this relay
+
+
+def measure_streaming(model, variables) -> float:
+    """p50 frame-to-alarm latency (ms) of the k=16 micro-batched streaming
+    path: for the i-th frame of a block, latency = (k-1-i)/fps block-fill
+    wait + the block dispatch time. Reuses the already-initialized flagship
+    ViViT."""
+    import time as _time
+
+    import jax.numpy as jnp
+
+    from kstar_tpu.config import FPS
+    from kstar_tpu.infer import StreamingPredictor
+
+    sp = StreamingPredictor(model, variables["params"],
+                            variables.get("batch_stats", {}), seq_len=SEQ_LEN,
+                            crop_size=CROP, block_size=STREAM_K,
+                            compute_dtype=jnp.bfloat16)
+    frames = np.random.default_rng(0).integers(
+        0, 255, size=(STREAM_K, CROP, CROP, 3), dtype=np.uint8)
+    sp.push_block(frames)  # compile
+    lat = []
+    fill_ms = (STREAM_K - 1 - np.arange(STREAM_K)) / FPS * 1e3
+    for _ in range(30):
+        t0 = _time.perf_counter()
+        sp.push_block(frames)
+        lat.append(fill_ms + (_time.perf_counter() - t0) * 1e3)
+    return float(np.median(np.concatenate(lat)))
 
 
 # ---------------------------------------------------------------------------
 # TPU path
 # ---------------------------------------------------------------------------
 
-def measure_tpu(frames: np.ndarray) -> float:
+def measure_tpu(frames: np.ndarray):
     import jax
 
     # persistent compilation cache: the sweep program compiles once per
@@ -160,18 +366,30 @@ def measure_tpu(frames: np.ndarray) -> float:
         probs = sweeper.sweep_device(frames_dev, starts)
         times.append(time.perf_counter() - t0)
     assert np.isfinite(probs).all()
-    return n_windows / float(np.median(times))
+    return n_windows / float(np.median(times)), model, variables
 
 
 def main():
     frames = _synthetic_frames(N_FRAMES_SHOT)
     baseline = get_baseline(frames)
-    tpu = measure_tpu(frames)
+    tpu, model, variables = measure_tpu(frames)
+    stream_p50_ms = measure_streaming(model, variables)
+    f1 = measure_f1_tpu()
+    # the torch batch-1 loop's frame-to-alarm latency is its per-window time
+    torch_alarm_ms = 1e3 / baseline["torch_cpu_clips_per_s"]
     print(json.dumps({
         "metric": "continuous_inference_clips_per_sec",
         "value": round(tpu, 2),
         "unit": "clips/s",
-        "vs_baseline": round(tpu / baseline, 2),
+        "vs_baseline": round(tpu / baseline["torch_cpu_clips_per_s"], 2),
+        "extras": {
+            "p50_frame_to_alarm_ms": round(stream_p50_ms, 2),
+            "p50_frame_to_alarm_vs_torch_cpu": round(
+                torch_alarm_ms / stream_p50_ms, 2),
+            "hard_fixture_test_f1": round(f1, 4),
+            "hard_fixture_torch_cpu_f1": round(baseline["torch_cpu_f1"], 4),
+            "stream_block_k": STREAM_K,
+        },
     }))
 
 

@@ -34,6 +34,11 @@ def main(argv=None):
     p.add_argument("--hpo_workers", type=int, default=1,
                    help="concurrent trials per rung; trials round-robin over "
                         "jax.devices() (the reference's Ray Tune concurrency)")
+    p.add_argument("--hpo_vmap", action="store_true",
+                   help="0D only: train each rung's same-architecture trials "
+                        "as ONE vmapped program (lr via inject_hyperparams, "
+                        "focal gamma traced) — the single-chip-native "
+                        "alternative to --hpo_workers")
     args = p.parse_args(argv)
 
     import jax
@@ -151,13 +156,22 @@ def main(argv=None):
 
     space = (search_space_video(args.model) if kind == "vision"
              else search_space_0d(args.model))
+    group_trainable = None
+    if args.hpo_vmap:
+        if kind != "0D":
+            raise SystemExit("--hpo_vmap supports the 0D models only "
+                             "(vision trials rarely co-reside in HBM)")
+        from ..train.hpo_vmap import make_group_trainable_0d
+        group_trainable = make_group_trainable_0d(
+            make_model, train_ds, valid_ds, seed=args.random_seed)
     best, trials = run_asha(
         trainable, space, n_trials=args.n_trials,
         max_epochs=args.max_epochs, grace_period=args.grace_period,
         reduction_factor=args.reduction_factor, seed=args.random_seed,
         log_path=os.path.join(args.save_dir, f"hpo_{args.model}.json"),
         n_workers=args.hpo_workers,
-        devices=jax.devices() if args.hpo_workers > 1 else None)
+        devices=jax.devices() if args.hpo_workers > 1 else None,
+        group_trainable=group_trainable)
 
     print(f"best trial {best.trial_id}: valid F1 {best.best:.4f}")
     print(f"config: {best.config}")

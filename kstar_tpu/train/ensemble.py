@@ -78,6 +78,34 @@ def make_ensemble_step(model, loss_cfg: LossConfig, model_type: str = "single",
     return jax.jit(step, donate_argnums=(0,))
 
 
+def make_ensemble_scan_steps(model, loss_cfg: LossConfig,
+                             model_type: str = "single", pre_fn=None):
+    """K steps x N members in ONE dispatch: ``lax.scan`` over a (K, B, ...)
+    batch stack composed under ``vmap`` over the ensemble axis (the
+    make_scan_steps pattern, train/loop.py:116-146).
+
+    multi_step(states, batches, labels, weight, m_list, gb_w)
+        -> (states, losses (N, K), preds (N, K, B))
+
+    Numerically identical to K sequential make_ensemble_step calls — same
+    core, same per-member rng stream."""
+    core = _train_step_core(model, loss_cfg, model_type, pre_fn=pre_fn)
+
+    def multi_step(states, batches, labels, weight, m_list, gb_w):
+        def member(st):
+            def body(s, xs):
+                b, y = xs
+                s, loss, preds = core(s, b, y, weight, m_list, gb_w)
+                return s, (loss, preds)
+
+            return jax.lax.scan(body, st, (batches, labels))
+
+        states, (losses, preds) = jax.vmap(member)(states)
+        return states, losses, preds
+
+    return jax.jit(multi_step, donate_argnums=(0,))
+
+
 def make_ensemble_eval(model, loss_cfg: LossConfig, model_type: str = "single",
                        pre_fn=None):
     """eval(states, batch, labels, weight, m_list, gb_w, mask)
@@ -107,10 +135,16 @@ def fit_ensemble(
     put=None,
     pre_fn=None,
     pre_fn_eval=None,
+    put_stack=None,
 ) -> Tuple[TrainState, List[History]]:
     """Train all ensemble members simultaneously; per-member History and
     per-member ``{tag}_seed_{s}_{best,last}.ckpt`` checkpoints (the tag
     scheme the reference's per-seed sweep processes produce).
+
+    ``train_cfg.steps_per_dispatch`` > 1 runs full groups of K batches as
+    ONE vmap x scan dispatch (make_ensemble_scan_steps) — the fit() driver's
+    multi-step mode, composed with the ensemble axis. ``put_stack`` handles
+    the (K, B, ...) stacks on a mesh (see loader.grouped_batches).
 
     Scope notes: no early stopping (members would stop at different epochs,
     splitting the vmapped program — run the full budget and use each
@@ -119,11 +153,15 @@ def fit_ensemble(
     across members; relative to the reference's per-seed processes this is
     an rng difference only, since each member keeps its own init, noise,
     dropout, and augmentation streams."""
-    from ..data.loader import epoch_batches, eval_batches, threaded_batches
+    from ..data.loader import (epoch_batches, eval_batches, grouped_batches,
+                               threaded_batches)
 
     n = len(seeds)
     train_step = make_ensemble_step(model, loss_cfg, model_type, pre_fn=pre_fn)
     eval_step = make_ensemble_eval(model, loss_cfg, model_type, pre_fn=pre_fn_eval)
+    k = getattr(train_cfg, "steps_per_dispatch", 1)
+    scan_step = (make_ensemble_scan_steps(model, loss_cfg, model_type, pre_fn=pre_fn)
+                 if k > 1 else None)
 
     cls_counts = train_ds.class_counts()
     gb_w = jnp.zeros(3, jnp.float32)
@@ -140,13 +178,29 @@ def fit_ensemble(
         dev_losses, dev_preds, all_labels = [], [], []
         idx_iter = epoch_batches(len(train_ds), train_cfg.batch_size, rng,
                                  sampler=sampler)
-        for batch, labels in threaded_batches(train_ds, idx_iter, put):
-            states, losses, preds = train_step(states, batch,
-                                               jnp.asarray(labels), weight,
-                                               m_list, gb_w)
-            dev_losses.append(losses)          # (N,)
-            dev_preds.append(preds)            # (N, B)
-            all_labels.append(np.asarray(labels))
+        if scan_step is not None:
+            for kind, (batch, labels) in grouped_batches(
+                    train_ds, idx_iter, k, put, put_stack=put_stack):
+                y = jnp.asarray(labels)
+                if kind == "stack":
+                    states, losses_k, preds_k = scan_step(
+                        states, batch, y, weight, m_list, gb_w)
+                    dev_losses.append(jnp.sum(losses_k, axis=1))     # (N,)
+                    dev_preds.append(preds_k.reshape(n, -1))         # (N, K*B)
+                else:
+                    states, losses, preds = train_step(
+                        states, batch, y, weight, m_list, gb_w)
+                    dev_losses.append(losses)
+                    dev_preds.append(preds)
+                all_labels.append(np.asarray(labels).reshape(-1))
+        else:
+            for batch, labels in threaded_batches(train_ds, idx_iter, put):
+                states, losses, preds = train_step(states, batch,
+                                                   jnp.asarray(labels), weight,
+                                                   m_list, gb_w)
+                dev_losses.append(losses)          # (N,)
+                dev_preds.append(preds)            # (N, B)
+                all_labels.append(np.asarray(labels))
         tr_loss = np.asarray(jnp.sum(jnp.stack(dev_losses), axis=0))  # (N,)
         preds_all = np.concatenate([np.asarray(p) for p in dev_preds], axis=1)
         labels_all = np.concatenate(all_labels)

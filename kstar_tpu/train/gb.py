@@ -35,13 +35,10 @@ from .state import TrainState, save_checkpoint
 STREAMS = ("video", "0D", "multi")
 
 
-def make_stream_step(model, loss_cfg: LossConfig, stream: str,
-                     pre_fn: Optional[Callable] = None) -> Callable:
-    """Jitted train step for one stream of a *-GB model. ``stream`` selects
-    which forward runs and which logits the loss sees. ``pre_fn(key, batch)``
-    fuses raw-uint8 preprocessing into the step (train/loop.py semantics);
-    streams that ignore the video modality have its preprocessing dead-code
-    eliminated by XLA."""
+def _stream_step_core(model, loss_cfg: LossConfig, stream: str,
+                      pre_fn: Optional[Callable] = None) -> Callable:
+    """Pure (un-jitted) per-stream train step — shared by make_stream_step
+    (one step per dispatch) and make_stream_scan_steps (K per dispatch)."""
     loss_type, gamma, s = loss_cfg.loss_type, loss_cfg.focal_gamma, loss_cfg.ldam_s
 
     def step(state: TrainState, batch, labels, weight, m_list):
@@ -92,7 +89,38 @@ def make_stream_step(model, loss_cfg: LossConfig, stream: str,
             opt_state=sel(candidate.opt_state, state.opt_state),
         ), loss
 
-    return jax.jit(step)
+    return step
+
+
+def make_stream_step(model, loss_cfg: LossConfig, stream: str,
+                     pre_fn: Optional[Callable] = None) -> Callable:
+    """Jitted train step for one stream of a *-GB model. ``stream`` selects
+    which forward runs and which logits the loss sees. ``pre_fn(key, batch)``
+    fuses raw-uint8 preprocessing into the step (train/loop.py semantics);
+    streams that ignore the video modality have its preprocessing dead-code
+    eliminated by XLA. NOT donated: gb_estimate probes train from a
+    functional copy of the caller's state, which must stay valid."""
+    return jax.jit(_stream_step_core(model, loss_cfg, stream, pre_fn))
+
+
+def make_stream_scan_steps(model, loss_cfg: LossConfig, stream: str,
+                           pre_fn: Optional[Callable] = None) -> Callable:
+    """K probe steps in ONE dispatch (the make_scan_steps pattern,
+    train/loop.py:116-146, applied to the per-stream GB probe): batches and
+    labels carry a leading (K, B, ...) step axis. Numerically identical to
+    K sequential make_stream_step calls (same rng fold-in over
+    state.step)."""
+    core = _stream_step_core(model, loss_cfg, stream, pre_fn)
+
+    def multi_step(state: TrainState, batches, labels, weight, m_list):
+        def body(st, xs):
+            b, y = xs
+            st, loss = core(st, b, y, weight, m_list)
+            return st, loss
+
+        return jax.lax.scan(body, state, (batches, labels))
+
+    return jax.jit(multi_step)
 
 
 def make_stream_eval(model, loss_cfg: LossConfig, stream: str,
@@ -117,15 +145,30 @@ def make_stream_eval(model, loss_cfg: LossConfig, stream: str,
     return jax.jit(step)
 
 
-def _epoch_stream(step, state, dataset, batch_size, rng, weight, m_list, put=None):
-    from ..data.loader import epoch_batches, threaded_batches
+def _epoch_stream(step, state, dataset, batch_size, rng, weight, m_list, put=None,
+                  scan_step=None, steps_per_dispatch: int = 1, put_stack=None):
+    from ..data.loader import epoch_batches, grouped_batches, threaded_batches
 
     dev_losses, n = [], 0
     idx_iter = epoch_batches(len(dataset), batch_size, rng)
-    for batch, labels in threaded_batches(dataset, idx_iter, put):
-        state, loss = step(state, batch, jnp.asarray(labels), weight, m_list)
-        dev_losses.append(loss)         # stays on device; one fetch at the end
-        n += len(labels)
+    if scan_step is not None and steps_per_dispatch > 1:
+        # full groups of K batches run as ONE multi-step dispatch; the
+        # remainder uses the per-step program (run_train_epoch's pattern)
+        for kind, (batch, labels) in grouped_batches(
+                dataset, idx_iter, steps_per_dispatch, put, put_stack=put_stack):
+            y = jnp.asarray(labels)
+            if kind == "stack":
+                state, losses_k = scan_step(state, batch, y, weight, m_list)
+                dev_losses.append(jnp.sum(losses_k))
+            else:
+                state, loss = step(state, batch, y, weight, m_list)
+                dev_losses.append(loss)
+            n += int(np.asarray(labels).size)
+    else:
+        for batch, labels in threaded_batches(dataset, idx_iter, put):
+            state, loss = step(state, batch, jnp.asarray(labels), weight, m_list)
+            dev_losses.append(loss)     # stays on device; one fetch at the end
+            n += len(labels)
     if n == 0:
         return state, 0.0
     return state, float(jnp.sum(jnp.stack(dev_losses))) / n
@@ -160,10 +203,14 @@ def gb_estimate(
     model, state: TrainState, train_ds, valid_ds,
     loss_cfg: LossConfig, batch_size: int, n_epochs: int = 4,
     seed: int = 42, put=None, pre_fn=None, pre_fn_eval=None,
+    steps_per_dispatch: int = 1, put_stack=None,
 ) -> Dict[str, float]:
     """Offline G-Blend estimate. The reference reloads last.pt per stream
     (reference :74-76); here each stream trains from a copy of the current
-    functional state — no disk round-trip."""
+    functional state — no disk round-trip. steps_per_dispatch > 1 runs each
+    probe epoch as ceil(steps/K) scan dispatches instead of one dispatch per
+    step (the relay's per-dispatch round-trip dominates these small
+    epochs)."""
     counts = train_ds.class_counts()
     weight, m_list = _loss_aux(loss_cfg, counts, 0, max(n_epochs, 1))
 
@@ -173,11 +220,16 @@ def gb_estimate(
 
     for stream in STREAMS:
         step = make_stream_step(model, loss_cfg, stream, pre_fn=pre_fn)
+        scan_step = (make_stream_scan_steps(model, loss_cfg, stream, pre_fn=pre_fn)
+                     if steps_per_dispatch > 1 else None)
         ev = make_stream_eval(model, loss_cfg, stream, pre_fn=pre_fn_eval)
         s = state  # functional copy: updates below never mutate the original
         tr_losses, va_losses = [], []
         for _ in range(n_epochs):
-            s, tr = _epoch_stream(step, s, train_ds, batch_size, rng, weight, m_list, put)
+            s, tr = _epoch_stream(step, s, train_ds, batch_size, rng, weight,
+                                  m_list, put, scan_step=scan_step,
+                                  steps_per_dispatch=steps_per_dispatch,
+                                  put_stack=put_stack)
             va, _ = _eval_stream(ev, s, valid_ds, batch_size, weight, m_list, put)
             tr_losses.append(tr)
             va_losses.append(va)
@@ -238,7 +290,8 @@ def fit_gb(
             gb_weights = gb_estimate(model, state, train_ds, valid_ds, loss_cfg,
                                      train_cfg.batch_size, n_epochs_gb_estimate,
                                      train_cfg.seed, put, pre_fn=pre_fn,
-                                     pre_fn_eval=pre_fn_eval)
+                                     pre_fn_eval=pre_fn_eval,
+                                     steps_per_dispatch=k, put_stack=put_stack)
             gb_arr = jnp.asarray([gb_weights["video"], gb_weights["0D"],
                                   gb_weights["multi"]], jnp.float32)
             if writer:

@@ -68,6 +68,7 @@ def run_asha(
     log_path: Optional[str] = None,
     n_workers: int = 1,
     devices: Optional[List] = None,
+    group_trainable: Optional[Callable] = None,
 ) -> Tuple[Trial, List[Trial]]:
     """Synchronous successive halving.
 
@@ -81,6 +82,13 @@ def run_asha(
     round-robined over them and a 4-argument trainable receives its device
     as ``trainable(config, n_epochs, state, device)`` — on an 8-device CPU
     or multi-chip mesh each trial then trains on its own device.
+
+    ``group_trainable(configs, n_epochs, states) -> (states, score_lists)``
+    (build with hpo_vmap.make_group_trainable_0d): trials sharing an
+    architecture (hpo_vmap.group_key — every config key except the traced
+    lr/focal_gamma) advance as ONE vmapped program per rung — the TPU-native
+    replacement for per-trial workers. Cross-architecture groups simply land
+    in different programs; a singleton group still runs vmapped (N=1).
     """
     import inspect
 
@@ -97,13 +105,29 @@ def run_asha(
         t.scores.extend(scores)
         t.epochs_done += add
 
+    def advance_grouped(jobs) -> None:
+        from .hpo_vmap import group_key
+
+        groups: Dict[tuple, List[Trial]] = {}
+        for t, add in jobs:
+            groups.setdefault((group_key(t.config), add), []).append(t)
+        for (_, add), ts in groups.items():
+            new_states, score_lists = group_trainable(
+                [t.config for t in ts], add, [t.state for t in ts])
+            for t, st, sc in zip(ts, new_states, score_lists):
+                t.state = st
+                t.scores.extend(sc)
+                t.epochs_done += add
+
     rung_budget = grace_period
     alive = list(trials)
     while alive:
         jobs = [(t, min(rung_budget, max_epochs) - t.epochs_done)
                 for t in alive]
         jobs = [(t, add) for t, add in jobs if add > 0]
-        if n_workers > 1 and len(jobs) > 1:
+        if group_trainable is not None and jobs:
+            advance_grouped(jobs)
+        elif n_workers > 1 and len(jobs) > 1:
             from concurrent.futures import ThreadPoolExecutor
 
             devs = devices or [None]

@@ -61,6 +61,34 @@ def test_members_match_solo_runs(ens_setup):
                                        rtol=1e-5, atol=1e-6)
 
 
+def test_ensemble_scan_dispatch_matches_per_step(ens_setup, tmp_path):
+    """steps_per_dispatch=2 (vmap x lax.scan) trains each member to the
+    same trajectory as per-step dispatch (SGD; same rng/batch streams)."""
+    from kstar_tpu.train.ensemble import make_ensemble_scan_steps
+
+    model, train_ds, valid_ds = ens_setup
+    x, _ = train_ds.batch(np.arange(8))
+    opt = OptimConfig(lr=1e-3, optimizer="SGD")
+
+    def run(k):
+        states = create_ensemble_state(model, jnp.asarray(x), SEEDS, opt)
+        cfg = TrainConfig(batch_size=8, num_epoch=2,
+                          weight_dir=str(tmp_path / f"k{k}"),
+                          early_stopping=False, verbose=0,
+                          steps_per_dispatch=k)
+        return fit_ensemble(model, states, SEEDS, train_ds, valid_ds, cfg,
+                            LossConfig(loss_type="CE"), tag="scan")
+
+    s1, h1 = run(1)
+    s2, h2 = run(2)
+    for a, b in zip(h1, h2):
+        np.testing.assert_allclose(a.train_loss, b.train_loss, rtol=1e-5)
+        np.testing.assert_allclose(a.valid_f1, b.valid_f1, rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_fit_ensemble_histories_and_checkpoints(ens_setup, tmp_path):
     model, train_ds, valid_ds = ens_setup
     x, _ = train_ds.batch(np.arange(8))

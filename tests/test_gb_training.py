@@ -93,6 +93,45 @@ class TestGBEstimate:
         assert set(ws) == {"video", "0D", "multi"}
         assert np.isclose(sum(ws.values()), 1.0)
 
+    def test_scan_steps_match_sequential_stream_steps(self, gb_setup):
+        """make_stream_scan_steps(K=2) == two sequential make_stream_step
+        calls: same losses, same updated params (exact scan semantics)."""
+        from kstar_tpu.train.gb import make_stream_scan_steps
+
+        model, state, ds = gb_setup
+        loss_cfg = LossConfig(loss_type="CE")
+        w = jnp.ones(2); m = jnp.asarray([0.3, 0.1])
+        b1, y1 = ds.batch(np.arange(4))
+        b2, y2 = ds.batch(np.arange(4, 8))
+
+        step = make_stream_step(model, loss_cfg, "video")
+        s_seq, l1 = step(state, b1, jnp.asarray(y1), w, m)
+        s_seq, l2 = step(s_seq, b2, jnp.asarray(y2), w, m)
+
+        stack = {k: np.stack([b1[k], b2[k]]) for k in b1}
+        ys = jnp.asarray(np.stack([y1, y2]))
+        scan = make_stream_scan_steps(model, loss_cfg, "video")
+        s_scan, losses = scan(state, stack, ys, w, m)
+
+        np.testing.assert_allclose(np.asarray(losses),
+                                   [float(l1), float(l2)], rtol=1e-5)
+        for a, b in zip(jax.tree.leaves(s_seq.params),
+                        jax.tree.leaves(s_scan.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+
+    def test_gb_estimate_scan_dispatch_weights_close(self, gb_setup):
+        """gb_estimate with scanned probe epochs lands on the same weights
+        up to the 1/(Of-Oi)^2 amplification of float reassociation noise
+        (step-level exactness is asserted above)."""
+        model, state, ds = gb_setup
+        kw = dict(batch_size=4, n_epochs=2, seed=7)
+        w1 = gb_estimate(model, state, ds, ds, LossConfig(loss_type="CE"), **kw)
+        w2 = gb_estimate(model, state, ds, ds, LossConfig(loss_type="CE"),
+                         steps_per_dispatch=2, **kw)
+        for s in w1:
+            np.testing.assert_allclose(w1[s], w2[s], rtol=5e-2)
+
 
 class TestFitGB:
     def test_two_epochs(self, gb_setup, tmp_path):
