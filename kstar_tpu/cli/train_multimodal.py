@@ -30,6 +30,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tag", type=str, default=None)
     add_common_args(p, batch_size=32)
     p.add_argument("--tau", type=int, default=1)
+    p.add_argument("--synthetic_dt", type=float, default=4.0 / 210.0,
+                   help="ts-table period for --synthetic runs; the default "
+                        "keeps smoke runs small, pass 1/210 (the reference's "
+                        "5ms multimodal table period) for time-axis-correct "
+                        "whole-shot sweeps/alarm artifacts")
     p.add_argument("--image_size", type=int, default=128)
     p.add_argument("--patch_size", type=int, default=16)
     p.add_argument("--dim", type=int, default=128)
@@ -68,7 +73,7 @@ def main(argv=None):
     cols = Schema.INPUT_FEATURES
     test_shot = None if args.synthetic else args.test_shot_num
 
-    dt = DT_MULTI if not args.synthetic else 4.0 / 210.0
+    dt = DT_MULTI if not args.synthetic else args.synthetic_dt
     disrupt_df, ts_df, store = load_data(args, need_video=True, dt=dt)
     shots = sorted(store.arrays.keys())
     # seeded random split (reference preparing_multi_data, utility.py:121-172)
@@ -194,6 +199,37 @@ def main(argv=None):
     if not args.skip_extras and test_s:
         from ..infer import predict_multimodal_shot
         from ..viz import plot_shot_probability
+
+        # shot-level alarm scoring over the test shots (the vision CLI's
+        # alarm artifacts, for the fusion path)
+        try:
+            import json as _json
+
+            from ..eval import score_alarms, sweep_multimodal_prob_curves
+            curves = sweep_multimodal_prob_curves(
+                model, state.params, state.batch_stats, store, ts_df,
+                disrupt_df, test_s, cols, scaler, seq_len=args.seq_len,
+                dist=args.dist, dt=dt, tau=args.tau, crop_size=crop,
+                batch_size=args.batch_size, compute_dtype=dtype)
+            res = score_alarms(curves, args.threshold)
+            print(f"alarm summary: {res['summary']}")
+            with open(os.path.join(args.save_dir, f"{tag}_alarms.json"), "w") as f:
+                _json.dump(res["summary"], f, indent=2)
+            res["per_shot"].to_csv(
+                os.path.join(args.save_dir, f"{tag}_alarms.csv"), index=False)
+
+            import pandas as _pd
+            tradeoff = _pd.DataFrame([
+                dict(threshold=thr, **{k: s[k] for k in
+                     ("detection_rate", "warning_p50_s", "detected", "premature")})
+                for thr in (0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+                for s in [score_alarms(curves, thr)["summary"]]])
+            tradeoff.to_csv(
+                os.path.join(args.save_dir, f"{tag}_threshold_tradeoff.csv"),
+                index=False)
+            print(tradeoff.to_string(index=False))
+        except Exception as e:
+            print(f"alarm evaluation skipped: {e}")
 
         shot = test_s[-1]
         row = disrupt_df[disrupt_df.shot == shot].iloc[0]

@@ -2,4 +2,6 @@ from .evaluate import (evaluate, evaluate_detail, evaluate_probs,
                        evaluation_figure, format_report)
 from .feature_importance import (compute_permute_feature_importance,
                                  plot_feature_importance)
-from .alarms import evaluate_video_alarms, threshold_sweep
+from .alarms import (evaluate_multimodal_alarms, evaluate_video_alarms,
+                     multimodal_threshold_sweep, score_alarms,
+                     sweep_multimodal_prob_curves, threshold_sweep)

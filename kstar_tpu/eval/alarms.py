@@ -138,6 +138,93 @@ def evaluate_video_alarms(
     return score_alarms(curves, threshold, t_min)
 
 
+def sweep_multimodal_prob_curves(
+    model, params, batch_stats,
+    store,
+    ts_df: pd.DataFrame,
+    disrupt_df: pd.DataFrame,
+    shots: Sequence[int],
+    cols: Sequence[str],
+    scaler,
+    seq_len: int = 21,
+    dist: int = 3,
+    dt: float = 1.0 / 210.0,
+    tau: int = 1,
+    crop_size: int = 128,
+    batch_size: int = 32,
+    compute_dtype=None,
+) -> List[Tuple[int, object, np.ndarray, np.ndarray]]:
+    """Whole-shot multimodal sweeps -> [(shot, disrupt_row, time_x, probs)].
+
+    Each shot runs the fused-table one-dispatch multimodal sweep
+    (infer/continuous.py predict_multimodal_shot — already padded, startup-
+    suppressed, and smoothed like reference utility.py:1136-1168), so the
+    curves feed score_alarms directly."""
+    import jax.numpy as jnp
+
+    from ..infer.continuous import predict_multimodal_shot
+
+    compute_dtype = compute_dtype or jnp.bfloat16
+    curves = []
+    for shot in shots:
+        if shot not in store:
+            continue
+        r = disrupt_df[disrupt_df.shot == shot].iloc[0]
+        d = ts_df[ts_df.shot == shot]
+        time_x, probs = predict_multimodal_shot(
+            model, params, batch_stats,
+            np.asarray(store.arrays[int(shot)]),
+            d[cols].to_numpy(np.float32), d["time"].to_numpy(), scaler,
+            int(r.frame_startup), int(r.frame_cutoff),
+            float(r.tftsrt), float(r.tipminf),
+            seq_len=seq_len, dist=dist, dt=dt, tau=tau,
+            crop_size=crop_size, batch_size=batch_size,
+            compute_dtype=compute_dtype)
+        if len(time_x):
+            curves.append((int(shot), r, time_x, probs))
+    return curves
+
+
+def evaluate_multimodal_alarms(
+    model, params, batch_stats, store, ts_df, disrupt_df, shots, cols, scaler,
+    threshold: float = 0.5,
+    t_min: float = 1.0,
+    **kw,
+) -> Dict:
+    """Multimodal analogue of evaluate_video_alarms: sweep each test shot
+    through the fusion model, score the alarms (reference inspects
+    generate_prob_curve_from_multi output qualitatively,
+    utility.py:1068-1178)."""
+    curves = sweep_multimodal_prob_curves(
+        model, params, batch_stats, store, ts_df, disrupt_df, shots, cols,
+        scaler, **kw)
+    return score_alarms(curves, threshold, t_min)
+
+
+def multimodal_threshold_sweep(
+    model, params, batch_stats, store, ts_df, disrupt_df, shots, cols, scaler,
+    thresholds: Sequence[float] = (0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9),
+    t_min: float = 1.0,
+    **kw,
+) -> pd.DataFrame:
+    """Operational trade-off curve for the fusion model; shots are swept
+    once and rescored per threshold on the host."""
+    curves = sweep_multimodal_prob_curves(
+        model, params, batch_stats, store, ts_df, disrupt_df, shots, cols,
+        scaler, **kw)
+    rows = []
+    for thr in thresholds:
+        s = score_alarms(curves, thr, t_min)["summary"]
+        rows.append({
+            "threshold": thr,
+            "detection_rate": s["detection_rate"],
+            "warning_p50_s": s["warning_p50_s"],
+            "n_detected": s["detected"],
+            "n_premature": s["premature"],
+        })
+    return pd.DataFrame(rows)
+
+
 def threshold_sweep(
     model, params, batch_stats, store, disrupt_df, shots,
     thresholds: Sequence[float] = (0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9),

@@ -62,6 +62,61 @@ class TestAlarmEvaluation:
         assert "n_premature" in df.columns
 
 
+class BrightnessFusionModel(nn.Module):
+    """Multimodal stand-in: ignores the 0D branch, thresholds brightness."""
+
+    @nn.compact
+    def __call__(self, x_video, x_ts, train=False):
+        b = self.param("b", nn.initializers.zeros, (1,))
+        # sharper than BrightnessModel: the multimodal sweep's centered
+        # k=16 smoothing (reference utility.py:1136-1168) dilutes the
+        # ~4-window synthetic flash to p ~ 0.25, so the raw logit must
+        # saturate for the smoothed peak to clear the test threshold
+        m = (x_video.astype(jnp.float32).mean(axis=(1, 2, 3, 4)) + 35.0) / 2.0
+        m = m + b[0] + 0.0 * x_ts.astype(jnp.float32).mean()
+        return jnp.stack([m, -m], axis=-1)
+
+
+class TestMultimodalAlarmEvaluation:
+    def test_summary_and_tradeoff(self):
+        from kstar_tpu.config import Schema
+        from kstar_tpu.data import Scaler, synthetic
+        from kstar_tpu.eval import (evaluate_multimodal_alarms,
+                                    multimodal_threshold_sweep)
+
+        # one ts row per frame (the reference's 5ms multimodal table,
+        # generate_numerical_data.py:293-308) — the sweep's time-axis
+        # reconstruction assumes frame-rate rows
+        dt = 1.0 / 210.0
+        cols = Schema.INPUT_FEATURES
+        shots, disrupt_df, ts_df = synthetic.make_dataset(
+            n_shots=3, n_frames=640, height=32, width=32, seed=3, dt=dt)
+        store = VideoStore.from_arrays({s.shot: s.frames for s in shots})
+        scaler = Scaler("Robust").fit(ts_df[cols].values)
+        model = BrightnessFusionModel()
+        v = model.init(jax.random.key(0), jnp.zeros((1, 8, 16, 16, 3)),
+                       jnp.zeros((1, 8, len(cols))))
+        kw = dict(seq_len=8, dist=3, dt=dt, tau=1, crop_size=32,
+                  batch_size=32, compute_dtype=jnp.float32)
+
+        res = evaluate_multimodal_alarms(
+            model, v["params"], {}, store, ts_df, disrupt_df,
+            [s.shot for s in shots], cols, scaler, threshold=0.15,
+            t_min=0.2, **kw)
+        per_shot, summary = res["per_shot"], res["summary"]
+        assert summary["n_shots"] == len(shots)
+        assert summary["detected"] + summary["missed"] == len(shots)
+        assert summary["detection_rate"] >= 0.5
+        assert (per_shot.warning_s.dropna() >= 0).all()
+
+        df = multimodal_threshold_sweep(
+            model, v["params"], {}, store, ts_df, disrupt_df,
+            [s.shot for s in shots], cols, scaler,
+            thresholds=(0.05, 0.15, 0.23), t_min=0.2, **kw)
+        assert len(df) == 3
+        assert (np.diff(df.detection_rate.values) <= 1e-9).all()
+
+
 class TestPrematureMetric:
     def test_score_alarms_flags_early_alarms(self):
         from kstar_tpu.eval.alarms import score_alarms
