@@ -37,6 +37,10 @@ class MHSA(nn.Module):
     dropout: float = 0.0
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
+    norm_dtype: Dtype = jnp.float32   # softmax/LN accumulation dtype; bf16 is
+                                      # the measured VPU-serialization A/B
+                                      # (PERFORMANCE.md), f32 is the default
+                                      # (parity numerics)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
@@ -55,7 +59,7 @@ class MHSA(nn.Module):
             from ..ops.attention import fused_attention
             out = fused_attention(q, k, v, scale=dh ** -0.5)
         else:
-            logits = jnp.einsum("bhid,bhjd->bhij", q, k).astype(jnp.float32) * (dh ** -0.5)
+            logits = jnp.einsum("bhid,bhjd->bhij", q, k).astype(self.norm_dtype) * (dh ** -0.5)
             attn = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
             # exposed for attention rollout (viz/xai.py); no-op unless the
             # 'intermediates' collection is mutable
@@ -80,22 +84,23 @@ class PreNormTransformer(nn.Module):
     dropout: float = 0.0
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
+    norm_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         for i in range(self.depth):
-            a = nn.LayerNorm(dtype=jnp.float32, name=f"attn_norm_{i}")(x).astype(self.dtype)
+            a = nn.LayerNorm(dtype=self.norm_dtype, name=f"attn_norm_{i}")(x).astype(self.dtype)
             a = MHSA(self.dim, self.n_heads, self.d_head, self.dropout, self.dtype,
-                     self.use_pallas, name=f"attn_{i}")(a, deterministic)
+                     self.use_pallas, self.norm_dtype, name=f"attn_{i}")(a, deterministic)
             x = x + a
-            f = nn.LayerNorm(dtype=jnp.float32, name=f"ff_norm_{i}")(x).astype(self.dtype)
+            f = nn.LayerNorm(dtype=self.norm_dtype, name=f"ff_norm_{i}")(x).astype(self.dtype)
             f = nn.Dense(self.mlp_dim, dtype=self.dtype, name=f"ff1_{i}")(f)
             f = nn.gelu(f)
             f = nn.Dropout(self.dropout)(f, deterministic=deterministic)
             f = nn.Dense(self.dim, dtype=self.dtype, name=f"ff2_{i}")(f)
             f = nn.Dropout(self.dropout)(f, deterministic=deterministic)
             x = x + f
-        return nn.LayerNorm(dtype=jnp.float32, name="final_norm")(x).astype(self.dtype)
+        return nn.LayerNorm(dtype=self.norm_dtype, name="final_norm")(x).astype(self.dtype)
 
 
 def patchify(x: jnp.ndarray, patch: int) -> jnp.ndarray:
@@ -136,6 +141,7 @@ class ViViTEncoder(nn.Module):
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
     remat: bool = False   # rematerialize transformer blocks (memory <-> FLOPs)
+    norm_dtype: Dtype = jnp.float32
 
     def setup(self):
         n_patches = (self.image_size // self.patch_size) ** 2
@@ -152,10 +158,12 @@ class ViViTEncoder(nn.Module):
                            if self.remat else PreNormTransformer)
         self.space_transformer = transformer_cls(
             self.dim, self.depth, self.n_heads, self.d_head,
-            self.dim * self.scale_dim, self.dropout, self.dtype, self.use_pallas)
+            self.dim * self.scale_dim, self.dropout, self.dtype, self.use_pallas,
+            self.norm_dtype)
         self.temporal_transformer = transformer_cls(
             self.dim, self.depth, self.n_heads, self.d_head,
-            self.dim * self.scale_dim, self.dropout, self.dtype, self.use_pallas)
+            self.dim * self.scale_dim, self.dropout, self.dtype, self.use_pallas,
+            self.norm_dtype)
 
     def embed_frames(self, x: jnp.ndarray) -> jnp.ndarray:
         """(B, T, H, W, C) or (T, H, W, C) pixels -> (..., N, dim) patch
@@ -247,13 +255,14 @@ class ViViT(nn.Module):
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
     remat: bool = False
+    norm_dtype: Dtype = jnp.float32
 
     def setup(self):
         self.encoder = ViViTEncoder(
             self.image_size, self.patch_size, self.n_frames, self.dim, self.depth,
             self.n_heads, self.d_head, self.scale_dim, self.dropout,
             self.embedd_dropout, self.pool, self.in_channels, self.dtype,
-            self.use_pallas, self.remat,
+            self.use_pallas, self.remat, self.norm_dtype,
         )
         self.mlp_fc1 = nn.Dense(self.dim // 2, dtype=jnp.float32)
         self.mlp_ln = nn.LayerNorm(dtype=jnp.float32)
