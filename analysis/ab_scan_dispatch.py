@@ -42,7 +42,7 @@ def _ts_datasets():
 
     cols = Schema.INPUT_FEATURES
     shots, disrupt_df, ts_df = synthetic.make_dataset(
-        n_shots=16, n_frames=512, height=16, width=16, seed=11)
+        n_shots=16, n_frames=4096, height=16, width=16, seed=11)
     df_tr, df_va, _, scaler = prepare_0d_dataset(ts_df, cols, test_shot=None)
     mk = lambda df: TSDataset(df, disrupt_df, cols, seq_len=SEQ, dist=3,
                               scaler=scaler)

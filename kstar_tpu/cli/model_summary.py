@@ -20,6 +20,10 @@ def main(argv=None):
     p.add_argument("--n_features", type=int, default=18)
     p.add_argument("--depth", type=int, default=3)
     p.add_argument("--out", type=str, default=None)
+    p.add_argument("--graph", type=str, default=None,
+                   help="also render the module hierarchy as a PNG diagram "
+                        "(the reference's torchviz/hiddenlayer graph, "
+                        "plot_model_structure.py)")
     args = p.parse_args(argv)
 
     import jax.numpy as jnp
@@ -57,6 +61,11 @@ def main(argv=None):
 
     text = model_summary(model, *sample, save_path=args.out, depth=args.depth)
     print(text)
+    if args.graph:
+        from ..utils.summary import render_model_graph
+        render_model_graph(model, *sample, save_path=args.graph,
+                           depth=args.depth)
+        print(f"module graph rendered to {args.graph}")
 
 
 if __name__ == "__main__":

@@ -71,6 +71,47 @@ def apply_act(x: jnp.ndarray, act: str, alpha: float = 1.0) -> jnp.ndarray:
     raise ValueError(act)
 
 
+# ---------------------------------------------------------------------------
+# Guided backprop (reference GuidedBackpropReLU,
+# src/visualization/visualize_cam.py:21-54)
+# ---------------------------------------------------------------------------
+
+# Trace-time flag flipped by viz.xai.guided_backprop(); when set, the conv
+# stacks' activations route through guided_leaky_relu so input-space saliency
+# keeps only positive-input AND positive-gradient paths. Read during tracing
+# only — the saliency path runs un-jitted (viz/xai.py), so flipping it cannot
+# poison a jit cache.
+GUIDED_BACKPROP = [False]
+
+
+def guided_leaky_relu(x: jnp.ndarray, alpha: float = 0.01) -> jnp.ndarray:
+    """Leaky ReLU whose VJP is the guided-backprop rule: the reference's
+    custom Function passes gradient only where input > 0 and grad > 0
+    (reference visualize_cam.py:35-54); with alpha=0 this is exactly it."""
+
+    from functools import partial
+
+    @partial(jax.custom_vjp, nondiff_argnums=(1,))
+    def _glr(x, alpha):
+        return jnp.where(x > 0, x, alpha * x)
+
+    def _fwd(x, alpha):
+        return _glr(x, alpha), x
+
+    def _bwd(alpha, x, g):
+        return (g * (x > 0).astype(g.dtype) * (g > 0).astype(g.dtype),)
+
+    _glr.defvjp(_fwd, _bwd)
+    return _glr(x, alpha)
+
+
+def act_leaky_relu(x: jnp.ndarray, alpha: float) -> jnp.ndarray:
+    """The conv stacks' LeakyReLU, guided-backprop-aware (see above)."""
+    if GUIDED_BACKPROP[0]:
+        return guided_leaky_relu(x, alpha)
+    return nn.leaky_relu(x, negative_slope=alpha)
+
+
 def gelu_tanh(x: jnp.ndarray) -> jnp.ndarray:
     """tanh-approximated GELU matching the reference's custom GELU
     (reference src/models/transformer.py:35-37)."""

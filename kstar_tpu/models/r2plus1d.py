@@ -21,7 +21,7 @@ from typing import Any, Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .common import MLPHead
+from .common import MLPHead, act_leaky_relu
 
 Dtype = Any
 
@@ -55,7 +55,7 @@ class Conv3dBN(nn.Module):
         x = nn.Conv(self.features, self.kernel, strides=self.stride,
                     padding=_sym(self.padding), use_bias=False, dtype=self.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32)(x)
-        return nn.leaky_relu(x, negative_slope=self.alpha).astype(self.dtype)
+        return act_leaky_relu(x, self.alpha).astype(self.dtype)
 
 
 class SpatioTemporalConv(nn.Module):
@@ -112,7 +112,7 @@ class STResBlock(nn.Module):
         if self.downsample:
             x = SpatioTemporalConv(self.features, (1, 1, 1), (2, 2, 2), self.alpha,
                                    dtype=self.dtype, name="shortcut")(x, train)
-        return nn.leaky_relu(x + res, negative_slope=self.alpha).astype(res.dtype)
+        return act_leaky_relu(x + res, self.alpha).astype(res.dtype)
 
 
 class STResLayer(nn.Module):

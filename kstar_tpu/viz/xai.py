@@ -126,6 +126,42 @@ def rollout(attentions, discard_ratio: float = 0.9, head_fusion: str = "mean") -
     return mask / np.maximum(mask.max(axis=1, keepdims=True), 1e-8)
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def guided_backprop():
+    """Within this context, conv-stack activations traced through
+    models.common.act_leaky_relu use the guided-backprop VJP (reference
+    GuidedBackpropReLU, visualize_cam.py:21-54): gradient flows only where
+    input > 0 AND upstream grad > 0. Use around un-jitted jax.grad calls."""
+    from ..models import common
+    common.GUIDED_BACKPROP[0] = True
+    try:
+        yield
+    finally:
+        common.GUIDED_BACKPROP[0] = False
+
+
+def guided_backprop_saliency(model, params, batch_stats, video: jnp.ndarray,
+                             target_class: int = 0) -> np.ndarray:
+    """Input-space guided-backprop saliency for a conv video model
+    (R2Plus1D / SlowFast): |d score / d input| with the guided rule, maxed
+    over channels and normalized per clip. video: (B, T, H, W, C) float.
+    Returns (B, T, H, W) in [0, 1]."""
+    variables = {"params": params, "batch_stats": batch_stats}
+
+    def score(v):
+        logits = model.apply(variables, v, train=False)
+        return logits[:, target_class].sum()
+
+    with guided_backprop():
+        g = jax.grad(score)(jnp.asarray(video, jnp.float32))
+    sal = np.abs(np.asarray(g, np.float32)).max(axis=-1)
+    mx = sal.reshape(sal.shape[0], -1).max(axis=1)[:, None, None, None]
+    return sal / np.maximum(mx, 1e-8)
+
+
 def vivit_attention_rollout(model, params, video: jnp.ndarray,
                             which: str = "space", discard_ratio: float = 0.9,
                             head_fusion: str = "mean") -> np.ndarray:

@@ -133,6 +133,21 @@ class TestModelSummary:
         text = model_summary(m, jnp.zeros((1, 6, 4)), depth=2)
         assert "MLSTMFCN" in text
 
+    def test_render_model_graph(self, tmp_path):
+        import jax.numpy as jnp
+
+        from kstar_tpu.config import MLSTMFCNConfig
+        from kstar_tpu.models import build_0d_model
+        from kstar_tpu.utils.summary import render_model_graph
+
+        m = build_0d_model("MLSTM_FCN", MLSTMFCNConfig(n_features=4, fcn_dim=8,
+                                                       seq_len=6, lstm_dim=4))
+        out = str(tmp_path / "graph.png")
+        path = render_model_graph(m, jnp.zeros((1, 6, 4)), save_path=out,
+                                  depth=2)
+        import os
+        assert os.path.exists(path) and os.path.getsize(path) > 10_000
+
 
 class TestCpuInit:
     def test_forced_cpu_init_matches_default(self):

@@ -32,6 +32,59 @@ class TestGradCAM:
         assert cam.min() >= 0.0 and cam.max() <= 1.0 + 1e-6
 
 
+class TestGuidedBackprop:
+    def test_vjp_rule_masks_both_signs(self):
+        """Gradient passes only where input > 0 AND upstream grad > 0
+        (reference GuidedBackpropReLU, visualize_cam.py:35-54)."""
+        from kstar_tpu.models.common import guided_leaky_relu
+
+        x = jnp.asarray([-2.0, -1.0, 1.0, 2.0])
+        c = jnp.asarray([1.0, -1.0, -1.0, 3.0])   # upstream gradient
+        g = jax.grad(lambda x: jnp.sum(c * guided_leaky_relu(x, 0.01)))(x)
+        # kept only where x>0 and c>0: the last element
+        np.testing.assert_allclose(np.asarray(g), [0.0, 0.0, 0.0, 3.0])
+
+    def test_forward_unchanged(self):
+        from kstar_tpu.models.common import guided_leaky_relu
+        from flax import linen as nn
+
+        x = jnp.linspace(-3, 3, 13)
+        np.testing.assert_allclose(
+            np.asarray(guided_leaky_relu(x, 0.1)),
+            np.asarray(nn.leaky_relu(x, negative_slope=0.1)), rtol=1e-6)
+
+    def test_saliency_shape_and_guided_difference(self, video):
+        from kstar_tpu.viz import guided_backprop_saliency
+
+        m = R2Plus1DClassifier(image_size=H, n_frames=T, layer_sizes=(1, 1, 1, 1))
+        v = m.init(_rngs(), video, train=False)
+        sal = guided_backprop_saliency(m, v["params"], v.get("batch_stats", {}),
+                                       video)
+        assert sal.shape == (B, T, H, H)
+        assert np.isfinite(sal).all()
+        assert sal.min() >= 0.0 and sal.max() <= 1.0 + 1e-6
+
+        # vanilla input gradient (no guiding) must differ — the masks bite
+        def score(x):
+            logits = m.apply({"params": v["params"],
+                              "batch_stats": v.get("batch_stats", {})},
+                             x, train=False)
+            return logits[:, 0].sum()
+
+        g = np.abs(np.asarray(jax.grad(score)(video), np.float32)).max(axis=-1)
+        g = g / np.maximum(g.reshape(B, -1).max(axis=1)[:, None, None, None], 1e-8)
+        assert not np.allclose(g, sal, atol=1e-3)
+
+    def test_flag_restored_after_context(self):
+        from kstar_tpu.models import common
+        from kstar_tpu.viz import guided_backprop
+
+        assert common.GUIDED_BACKPROP[0] is False
+        with guided_backprop():
+            assert common.GUIDED_BACKPROP[0] is True
+        assert common.GUIDED_BACKPROP[0] is False
+
+
 class TestAttentionRollout:
     def test_space_and_temporal(self, video):
         from kstar_tpu.viz import vivit_attention_rollout
