@@ -156,7 +156,18 @@ def make_shot(
     noise_0d = 0.02 + 0.15 * difficulty
     for j, col in enumerate(features):
         base = 1.0 + 0.2 * np.sin(2 * np.pi * (t * (0.5 + 0.13 * j) + 0.3 * j))
-        drift = 0.5 * phase if j % 3 == 0 else -0.3 * phase if j % 3 == 1 else 0.0
+        if difficulty > 0:
+            # the easy fixture's monotone phase drift is a LABEL LEAK for
+            # 0D-bearing models ("time into shot" predicts the quench with
+            # no precursor needed — a trained fusion model alarmed through
+            # the entire flat-top, round 3); the hard fixture replaces it
+            # with a slow periodic excursion, so only the aligned precursor
+            # (below) distinguishes pre-disruptive windows
+            drift_shape = np.sin(2 * np.pi * (phase * (0.9 + 0.1 * (j % 4)) + 0.17 * j))
+            drift = (0.5 * drift_shape if j % 3 == 0
+                     else -0.3 * drift_shape if j % 3 == 1 else 0.0)
+        else:
+            drift = 0.5 * phase if j % 3 == 0 else -0.3 * phase if j % 3 == 1 else 0.0
         data[col] = (
             base + drift + (0.8 if j % 2 == 0 else -0.6) * precursor
             + rng.normal(0, noise_0d, n)
