@@ -11,7 +11,12 @@
    (infer/streaming.py push_block, k=16 through this relay), counting BOTH
    the micro-batch accumulation wait ((k-1-i)/fps for the i-th frame of a
    block) and the dispatch itself. Baseline: the torch batch-1 window
-   forward (its per-window time IS its frame-to-alarm latency).
+   forward (its per-window time IS its frame-to-alarm latency) — note the
+   torch loop only sustains ~26 fps, so at the camera's 210 fps its queue
+   grows without bound and its steady-state alarm latency diverges; the
+   ratio compares against its BELOW-real-time best case, and the absolute
+   figure here is relay-RTT-floored (a directly-attached host runs k=1 at
+   ~0.2 ms/window).
 3. **hard-fixture test macro-F1**: MLSTM-FCN (the CPU-runnable config
    BASELINE.md:27 names) trained on the difficulty=1.0 synthetic fixture,
    vs an identically-trained torch-CPU mirror of the same architecture.
@@ -141,6 +146,10 @@ def get_baseline(frames: np.ndarray) -> dict:
 F1_EPOCHS = 15
 F1_BATCH = 64
 F1_FCN, F1_LSTM = 32, 32
+# 3.7 s shots with a 1.2 s prediction horizon (63 rows at the 4/210 s 0D
+# grid): torch mirror lands at F1 ~ 0.89 — non-saturated, so the parity
+# figure actually discriminates (dist=3 on short shots scored 1.0)
+F1_FRAMES, F1_DIST = 768, 63
 
 
 def _f1_data():
@@ -150,10 +159,11 @@ def _f1_data():
 
     cols = Schema.INPUT_FEATURES
     shots, disrupt_df, ts_df = synthetic.make_dataset(
-        n_shots=16, n_frames=256, height=16, width=16, seed=11, difficulty=1.0)
+        n_shots=16, n_frames=F1_FRAMES, height=16, width=16, seed=11,
+        difficulty=1.0)
     df_tr, df_va, df_te, scaler = prepare_0d_dataset(ts_df, cols, test_shot=None)
-    mk = lambda df: TSDataset(df, disrupt_df, cols, seq_len=SEQ_LEN, dist=3,
-                              scaler=scaler)
+    mk = lambda df: TSDataset(df, disrupt_df, cols, seq_len=SEQ_LEN,
+                              dist=F1_DIST, scaler=scaler)
 
     def arrays(ds):
         X, y = ds.batch(np.arange(len(ds)))
@@ -265,10 +275,11 @@ def measure_f1_tpu() -> float:
 
     cols = Schema.INPUT_FEATURES
     shots, disrupt_df, ts_df = synthetic.make_dataset(
-        n_shots=16, n_frames=256, height=16, width=16, seed=11, difficulty=1.0)
+        n_shots=16, n_frames=F1_FRAMES, height=16, width=16, seed=11,
+        difficulty=1.0)
     df_tr, df_va, df_te, scaler = prepare_0d_dataset(ts_df, cols, test_shot=None)
-    mk = lambda df: TSDataset(df, disrupt_df, cols, seq_len=SEQ_LEN, dist=3,
-                              scaler=scaler)
+    mk = lambda df: TSDataset(df, disrupt_df, cols, seq_len=SEQ_LEN,
+                              dist=F1_DIST, scaler=scaler)
     train_ds, valid_ds, test_ds = mk(df_tr), mk(df_va), mk(df_te)
 
     cfg = MLSTMFCNConfig(n_features=len(cols), fcn_dim=F1_FCN, seq_len=SEQ_LEN,
@@ -389,6 +400,8 @@ def main():
             "hard_fixture_test_f1": round(f1, 4),
             "hard_fixture_torch_cpu_f1": round(baseline["torch_cpu_f1"], 4),
             "stream_block_k": STREAM_K,
+            "torch_cpu_max_sustained_fps": round(
+                baseline["torch_cpu_clips_per_s"], 1),
         },
     }))
 
