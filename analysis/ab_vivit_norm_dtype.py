@@ -13,7 +13,8 @@ loss, B=64) with
 Timing is scan-timed (K steps per dispatch / K) like analysis/train_mfu.py,
 so the relay's per-dispatch latency cancels. A large gap confirms the
 VPU-serialization diagnosis and quantifies the opt-in win
-(`ViViTConfig(norm_dtype=bf16)`); a null result refutes it and the roofline
+(`ViViTConfig(norm_dtype="bfloat16")` / `train_vision --norm_dtype
+bfloat16`); a null result refutes it and the roofline
 gap needs another explanation. Record the outcome in PERFORMANCE.md either
 way.
 

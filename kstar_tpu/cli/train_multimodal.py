@@ -218,12 +218,8 @@ def main(argv=None):
             res["per_shot"].to_csv(
                 os.path.join(args.save_dir, f"{tag}_alarms.csv"), index=False)
 
-            import pandas as _pd
-            tradeoff = _pd.DataFrame([
-                dict(threshold=thr, **{k: s[k] for k in
-                     ("detection_rate", "warning_p50_s", "detected", "premature")})
-                for thr in (0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
-                for s in [score_alarms(curves, thr)["summary"]]])
+            from ..eval import threshold_tradeoff_from_curves
+            tradeoff = threshold_tradeoff_from_curves(curves)
             tradeoff.to_csv(
                 os.path.join(args.save_dir, f"{tag}_threshold_tradeoff.csv"),
                 index=False)

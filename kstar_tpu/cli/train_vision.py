@@ -51,6 +51,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--d_head", type=int, default=64)
     p.add_argument("--scale_dim", type=int, default=8)
     p.add_argument("--depth", type=int, default=2)
+    p.add_argument("--norm_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="ViViT LN/softmax accumulation dtype (bfloat16: "
+                        "+4.6%% step time, non-parity — PERFORMANCE.md)")
     # SlowFast (reference :117-118)
     p.add_argument("--tau_alpha", type=int, default=4)
     p.add_argument("--tau_fast", type=int, default=1)
@@ -72,7 +76,8 @@ def model_config(args):
             image_size=args.image_size, patch_size=args.patch_size,
             n_frames=seq_len, dim=args.dim, depth=args.depth,
             n_heads=args.n_heads, d_head=args.d_head, scale_dim=args.scale_dim,
-            dropout=args.dropout, embedd_dropout=args.embedd_dropout), seq_len
+            dropout=args.dropout, embedd_dropout=args.embedd_dropout,
+            norm_dtype=args.norm_dtype), seq_len
     if args.model == "SlowFast":
         return SlowFastConfig(image_size=args.image_size, n_frames=seq_len,
                               alpha=args.tau_alpha, tau_fast=args.tau_fast), seq_len
@@ -222,12 +227,13 @@ def main(argv=None):
         try:
             import json as _json
 
-            from ..eval import evaluate_video_alarms
-            res = evaluate_video_alarms(
+            from ..eval import (score_alarms, sweep_prob_curves,
+                                threshold_tradeoff_from_curves)
+            curves = sweep_prob_curves(
                 model, state.params, state.batch_stats, store, disrupt_df,
                 test_s, seq_len=seq_len, dist=args.dist, crop_size=crop,
-                batch_size=args.batch_size, threshold=args.threshold,
-                compute_dtype=dtype)
+                batch_size=args.batch_size, compute_dtype=dtype)
+            res = score_alarms(curves, args.threshold)
             print(f"alarm summary: {res['summary']}")
             with open(os.path.join(args.save_dir, f"{tag}_alarms.json"), "w") as f:
                 _json.dump(res["summary"], f, indent=2)
@@ -235,12 +241,9 @@ def main(argv=None):
                 os.path.join(args.save_dir, f"{tag}_alarms.csv"), index=False)
 
             # operational trade-off curve: detection / warning / premature
-            # rate vs threshold (one library sweep, rescored per threshold)
-            from ..eval import threshold_sweep
-            tradeoff = threshold_sweep(
-                model, state.params, state.batch_stats, store, disrupt_df,
-                test_s, seq_len=seq_len, dist=args.dist, crop_size=crop,
-                batch_size=args.batch_size, compute_dtype=dtype)
+            # rate vs threshold — the library is swept ONCE above; the
+            # trade-off just rescores the held curves per threshold
+            tradeoff = threshold_tradeoff_from_curves(curves)
             tradeoff.to_csv(
                 os.path.join(args.save_dir, f"{tag}_threshold_tradeoff.csv"),
                 index=False)

@@ -171,6 +171,9 @@ class ViViTConfig:
     pool: str = "cls"
     in_channels: int = 3
     alpha: float = 1.0
+    # LN / attention-softmax accumulation dtype: "float32" (parity default)
+    # or "bfloat16" (measured +4.6% on the train step — PERFORMANCE.md)
+    norm_dtype: str = "float32"
 
 
 @dataclass(frozen=True)

@@ -201,17 +201,16 @@ def evaluate_multimodal_alarms(
     return score_alarms(curves, threshold, t_min)
 
 
-def multimodal_threshold_sweep(
-    model, params, batch_stats, store, ts_df, disrupt_df, shots, cols, scaler,
+def threshold_tradeoff_from_curves(
+    curves,
     thresholds: Sequence[float] = (0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9),
     t_min: float = 1.0,
-    **kw,
 ) -> pd.DataFrame:
-    """Operational trade-off curve for the fusion model; shots are swept
-    once and rescored per threshold on the host."""
-    curves = sweep_multimodal_prob_curves(
-        model, params, batch_stats, store, ts_df, disrupt_df, shots, cols,
-        scaler, **kw)
+    """Rescore pre-swept prob curves per threshold — probabilities are
+    threshold-independent, so the trade-off curve needs no further device
+    work. Shared by threshold_sweep / multimodal_threshold_sweep and the
+    CLIs (which already hold curves from alarm scoring and must not sweep
+    the library twice)."""
     rows = []
     for thr in thresholds:
         s = score_alarms(curves, thr, t_min)["summary"]
@@ -223,6 +222,20 @@ def multimodal_threshold_sweep(
             "n_premature": s["premature"],
         })
     return pd.DataFrame(rows)
+
+
+def multimodal_threshold_sweep(
+    model, params, batch_stats, store, ts_df, disrupt_df, shots, cols, scaler,
+    thresholds: Sequence[float] = (0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9),
+    t_min: float = 1.0,
+    **kw,
+) -> pd.DataFrame:
+    """Operational trade-off curve for the fusion model; shots are swept
+    once and rescored per threshold on the host."""
+    curves = sweep_multimodal_prob_curves(
+        model, params, batch_stats, store, ts_df, disrupt_df, shots, cols,
+        scaler, **kw)
+    return threshold_tradeoff_from_curves(curves, thresholds, t_min)
 
 
 def threshold_sweep(
@@ -240,15 +253,4 @@ def threshold_sweep(
         seq_len=kw.pop("seq_len", 21), dist=kw.pop("dist", 3),
         crop_size=kw.pop("crop_size", 128), batch_size=kw.pop("batch_size", 128),
         compute_dtype=kw.pop("compute_dtype", None), mesh=kw.pop("mesh", None))
-
-    rows = []
-    for thr in thresholds:
-        s = score_alarms(curves, thr, t_min)["summary"]
-        rows.append({
-            "threshold": thr,
-            "detection_rate": s["detection_rate"],
-            "warning_p50_s": s["warning_p50_s"],
-            "n_detected": s["detected"],
-            "n_premature": s["premature"],
-        })
-    return pd.DataFrame(rows)
+    return threshold_tradeoff_from_curves(curves, thresholds, t_min)

@@ -31,6 +31,12 @@ def build_video_model(name: str, cfg, dtype=None):
         kwargs["dtype"] = dtype
     if name == "ViViT":
         kwargs.pop("alpha", None)
+        nd = kwargs.pop("norm_dtype", "float32")
+        if nd is not None and not isinstance(nd, str):
+            kwargs["norm_dtype"] = nd         # already a dtype object
+        elif nd in ("bfloat16", "bf16"):
+            import jax.numpy as jnp
+            kwargs["norm_dtype"] = jnp.bfloat16
         return ViViT(**kwargs)
     if name == "R2Plus1D":
         return R2Plus1DClassifier(**kwargs)

@@ -112,6 +112,17 @@ def act_leaky_relu(x: jnp.ndarray, alpha: float) -> jnp.ndarray:
     return nn.leaky_relu(x, negative_slope=alpha)
 
 
+def act_relu(x: jnp.ndarray) -> jnp.ndarray:
+    """ReLU, guided-backprop-aware — the 3D-ResNet/SlowFast stacks route
+    through this so viz.xai.guided_backprop() covers them too (the
+    reference's GuidedBackpropReLUModel swaps EVERY ReLU module,
+    visualize_cam.py:57-66); alpha=0 makes guided_leaky_relu exactly the
+    reference rule."""
+    if GUIDED_BACKPROP[0]:
+        return guided_leaky_relu(x, 0.0)
+    return nn.relu(x)
+
+
 def gelu_tanh(x: jnp.ndarray) -> jnp.ndarray:
     """tanh-approximated GELU matching the reference's custom GELU
     (reference src/models/transformer.py:35-37)."""

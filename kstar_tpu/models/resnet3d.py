@@ -22,6 +22,8 @@ from typing import Any, List, Optional, Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
+from .common import act_relu
+
 Dtype = Any
 EXPANSION = 4
 
@@ -58,19 +60,19 @@ class Bottleneck3D(nn.Module):
             out = nn.Conv(self.planes, (1, 1, 1), use_bias=False,
                           dtype=self.dtype, name="conv1")(x)
         out = nn.BatchNorm(use_running_average=ra, dtype=jnp.float32, name="bn1")(out)
-        out = nn.relu(out).astype(self.dtype)
+        out = act_relu(out).astype(self.dtype)
 
         out = nn.Conv(self.planes, (1, 3, 3), strides=(1, self.stride, self.stride),
                       padding=[(0, 0), (1, 1), (1, 1)], use_bias=False,
                       dtype=self.dtype, name="conv2")(out)
         out = nn.BatchNorm(use_running_average=ra, dtype=jnp.float32, name="bn2")(out)
-        out = nn.relu(out).astype(self.dtype)
+        out = act_relu(out).astype(self.dtype)
 
         # squeeze-excite (applied on every block, see module docstring)
         width = _round_width(self.planes)
         se = out.mean(axis=(1, 2, 3), keepdims=True)                 # (B,1,1,1,C)
         se = nn.Conv(width, (1, 1, 1), dtype=self.dtype, name="se_fc1")(se)
-        se = nn.relu(se)
+        se = act_relu(se)
         se = nn.Conv(self.planes, (1, 1, 1), dtype=self.dtype, name="se_fc2")(se)
         se = nn.sigmoid(se.astype(jnp.float32)).astype(out.dtype)
         out = out * se
@@ -88,7 +90,7 @@ class Bottleneck3D(nn.Module):
             residual = nn.BatchNorm(use_running_average=ra, dtype=jnp.float32,
                                     name="shortcut_bn")(residual)
 
-        return nn.relu(out + residual).astype(self.dtype)
+        return act_relu(out + residual).astype(self.dtype)
 
 
 class ResStage(nn.Module):
@@ -122,7 +124,7 @@ class Stem3D(nn.Module):
         x = nn.Conv(self.features, (1, 7, 7), strides=(1, 2, 2),
                     padding=[(0, 0), (3, 3), (3, 3)], dtype=self.dtype, name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32, name="bn")(x)
-        x = nn.relu(x).astype(self.dtype)
+        x = act_relu(x).astype(self.dtype)
         x = nn.max_pool(x, (1, 3, 3), strides=(1, 2, 2),
                         padding=[(0, 0), (1, 1), (1, 1)])
         return x

@@ -381,6 +381,16 @@ def spatial_table(tokens: jnp.ndarray, weights: SpatialWeights,
     assert T % block_f == 0, (T, block_f)
     out_dtype = compute_dtype
 
+    # the model adds a PREFIX slice of its positional embedding when the
+    # input has fewer patches than image_size allows (models/vivit.py:219,
+    # e.g. a sweep crop smaller than the training image size) — mirror that
+    # here so the kernel serves any crop the scan path serves
+    base = weights.base
+    if base.shape[1] != n_tok:
+        assert base.shape[1] > n_tok, (base.shape, n_tok)
+        base = base[:, :n_tok, :]
+    weights = weights._replace(base=base)
+
     w_list = (list(weights.ln_a_s) + list(weights.ln_a_b) + list(weights.w_qkv)
               + list(weights.ln_f_s) + list(weights.ln_f_b)
               + list(weights.w_out) + list(weights.b_out)

@@ -53,7 +53,9 @@ def make_hpo_optimizer(optim_cfg: OptimConfig, steps_per_epoch: int = 1):
     equal to make_optimizer's exponential_decay(lr) while keeping the BASE
     lr a per-trial traced leaf."""
     name = optim_cfg.optimizer.lower()
-    inner = {"sgd": lambda lr: optax.sgd(lr, momentum=0.9),
+    # NOTE: inject_hyperparams passes learning_rate by keyword, so the sgd
+    # wrapper's parameter must be named learning_rate (optax.sgd's own name)
+    inner = {"sgd": lambda learning_rate: optax.sgd(learning_rate, momentum=0.9),
              "rmsprop": optax.rmsprop, "rmsprops": optax.rmsprop,
              "adam": optax.adam}.get(name, optax.adamw)
     tx = optax.inject_hyperparams(inner)(learning_rate=optim_cfg.lr)

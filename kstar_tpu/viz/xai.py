@@ -132,9 +132,17 @@ from contextlib import contextmanager
 @contextmanager
 def guided_backprop():
     """Within this context, conv-stack activations traced through
-    models.common.act_leaky_relu use the guided-backprop VJP (reference
+    models.common.act_leaky_relu / act_relu (R2Plus1D's LeakyReLUs and the
+    3D-ResNet/SlowFast ReLUs) use the guided-backprop VJP (reference
     GuidedBackpropReLU, visualize_cam.py:21-54): gradient flows only where
-    input > 0 AND upstream grad > 0. Use around un-jitted jax.grad calls."""
+    input > 0 AND upstream grad > 0.
+
+    ONLY use around un-jitted jax.grad calls (as guided_backprop_saliency
+    does): the flag is read at TRACE time, so any jitted program first
+    compiled inside this context permanently bakes the guided VJP into the
+    jit cache — a train/eval step traced here would silently keep masked
+    gradients after the context exits. Not thread-safe for the same reason;
+    prefer calling guided_backprop_saliency over entering this directly."""
     from ..models import common
     common.GUIDED_BACKPROP[0] = True
     try:

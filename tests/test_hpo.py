@@ -140,6 +140,48 @@ class TestVmappedRung:
             assert a.epochs_done == b.epochs_done
             np.testing.assert_allclose(a.scores, b.scores, atol=1e-6)
 
+    @pytest.mark.parametrize("name", ["sgd", "adam", "rmsprop", "adamw"])
+    def test_hpo_optimizer_matches_make_optimizer(self, name):
+        """make_hpo_optimizer must reproduce make_optimizer's trajectory for
+        EVERY dispatch branch (regression: the sgd wrapper's parameter was
+        named `lr`, but inject_hyperparams calls inner(learning_rate=...) —
+        TypeError on any SGD search space), and set_learning_rate must
+        actually retarget the injected leaf."""
+        import jax
+        import jax.numpy as jnp
+        import optax
+
+        from kstar_tpu.config import OptimConfig
+        from kstar_tpu.train.hpo_vmap import make_hpo_optimizer
+        from kstar_tpu.train.state import make_optimizer
+
+        cfg = OptimConfig(optimizer=name, lr=1e-2, use_scheduler=True,
+                          step_size=2, gamma=0.5, max_norm_grad=1.0)
+        params = {"w": jnp.arange(4, dtype=jnp.float32),
+                  "b": jnp.full((2,), -1.5)}
+        grads = {"w": jnp.full((4,), 0.7), "b": jnp.array([3.0, -0.2])}
+
+        def run(tx):
+            p, s = params, tx.init(params)
+            for _ in range(5):  # crosses the step_size=2 decay boundary
+                u, s = tx.update(grads, s, p)
+                p = optax.apply_updates(p, u)
+            return p
+
+        ref = run(make_optimizer(cfg))
+        got = run(make_hpo_optimizer(cfg))
+        jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, atol=1e-6),
+                     ref, got)
+
+        # the injected leaf is live: overriding it changes the first update
+        tx = make_hpo_optimizer(cfg)
+        fake_state = tx.init(params)
+        import optax.tree_utils as otu
+        retuned = otu.tree_set(fake_state, learning_rate=jnp.float32(1e-3))
+        u_base, _ = tx.update(grads, fake_state, params)
+        u_low, _ = tx.update(grads, retuned, params)
+        assert not np.allclose(u_base["w"], u_low["w"])
+
     def test_mixed_architectures_split_groups(self, hpo_setup):
         from kstar_tpu.train.hpo_vmap import group_key, make_group_trainable_0d
 

@@ -55,6 +55,31 @@ def test_kernel_matches_spatial_cls(vivit_setup, attn_mode):
     np.testing.assert_allclose(got, ref, atol=2e-5, rtol=2e-5)
 
 
+def test_kernel_matches_spatial_cls_smaller_crop(vivit_setup):
+    """A sweep crop below the training image size yields fewer patch tokens
+    than the positional embedding holds; the model prefix-slices pos
+    (models/vivit.py:219) and the kernel must mirror that (regression: the
+    CLI extras path crashed with a (F, 17, D) + (1, 65, D) broadcast when
+    synthetic frames were smaller than --image_size)."""
+    model, variables, tokens = vivit_setup
+    vars_ = {"params": variables["params"],
+             "batch_stats": variables.get("batch_stats", {})}
+    small = tokens[:, :2]                       # 2 patches < the model's 4
+    ref = np.asarray(spatial_table_xla(model, vars_, small, SEQ_LEN),
+                     np.float32)
+
+    weights = extract_spatial_weights(variables["params"], SEQ_LEN,
+                                      depth=DEPTH, dtype=jnp.float32)
+    small3 = jnp.pad(small, ((0, 0), (1, 0), (0, 0)))
+    got = np.asarray(
+        spatial_table(small3, weights, SEQ_LEN, depth=DEPTH, n_heads=HEADS,
+                      d_head=DH, block_f=4, compute_dtype=jnp.float32,
+                      interpret=True), np.float32)
+
+    assert got.shape == ref.shape == (SEQ_LEN, T, DIM)
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=2e-5)
+
+
 def test_find_spatial_params_nested(vivit_setup):
     model, variables, _ = vivit_setup
     flat = find_spatial_params(variables["params"])

@@ -75,6 +75,29 @@ class TestGuidedBackprop:
         g = g / np.maximum(g.reshape(B, -1).max(axis=1)[:, None, None, None], 1e-8)
         assert not np.allclose(g, sal, atol=1e-3)
 
+    def test_saliency_guided_difference_slowfast(self, video):
+        """SlowFast's ReLUs route through act_relu, so the guided rule must
+        bite there too (not silently return the vanilla gradient)."""
+        from kstar_tpu.models import SlowFast
+        from kstar_tpu.viz import guided_backprop_saliency
+
+        m = SlowFast(image_size=H, n_frames=T, alpha=4, tau_fast=1)
+        v = m.init(_rngs(), video, train=False)
+        sal = guided_backprop_saliency(m, v["params"], v.get("batch_stats", {}),
+                                       video)
+        assert sal.shape == (B, T, H, H)
+        assert np.isfinite(sal).all()
+
+        def score(x):
+            logits = m.apply({"params": v["params"],
+                              "batch_stats": v.get("batch_stats", {})},
+                             x, train=False)
+            return logits[:, 0].sum()
+
+        g = np.abs(np.asarray(jax.grad(score)(video), np.float32)).max(axis=-1)
+        g = g / np.maximum(g.reshape(B, -1).max(axis=1)[:, None, None, None], 1e-8)
+        assert not np.allclose(g, sal, atol=1e-3)
+
     def test_flag_restored_after_context(self):
         from kstar_tpu.models import common
         from kstar_tpu.viz import guided_backprop
