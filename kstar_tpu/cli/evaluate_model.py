@@ -48,6 +48,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--depth", type=int, default=2)
     p.add_argument("--d_head", type=int, default=64)
     p.add_argument("--scale_dim", type=int, default=8)
+    p.add_argument("--norm_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="match the training run's ViViT LN/softmax dtype")
     p.add_argument("--alpha", type=float, default=0.01)
     return p
 

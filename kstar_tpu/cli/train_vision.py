@@ -77,7 +77,7 @@ def model_config(args):
             n_frames=seq_len, dim=args.dim, depth=args.depth,
             n_heads=args.n_heads, d_head=args.d_head, scale_dim=args.scale_dim,
             dropout=args.dropout, embedd_dropout=args.embedd_dropout,
-            norm_dtype=args.norm_dtype), seq_len
+            norm_dtype=getattr(args, "norm_dtype", "float32")), seq_len
     if args.model == "SlowFast":
         return SlowFastConfig(image_size=args.image_size, n_frames=seq_len,
                               alpha=args.tau_alpha, tau_fast=args.tau_fast), seq_len

@@ -36,6 +36,35 @@ def test_multimodal_eval_reload(tmp_path):
     assert ev_line and ev_line[0] == f1_line[0]
 
 
+def test_vision_eval_reload(tmp_path):
+    """train_vision -> evaluate_model --kind vision must reproduce the
+    training-run test metrics from the reloaded checkpoint (regression:
+    evaluate_model reuses train_vision.model_config, which crashed when a
+    new train-only flag — --norm_dtype — was read off the eval namespace)."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    hparams = ["--synthetic", "--batch_size", "8",
+               "--dim", "16", "--depth", "1", "--n_heads", "2", "--d_head", "8",
+               "--scale_dim", "2", "--image_size", "64",
+               "--weight_dir", str(tmp_path / "w"), "--save_dir", str(tmp_path / "r")]
+    train = subprocess.run(
+        [sys.executable, "-m", "kstar_tpu.cli.train_vision",
+         "--model", "ViViT", "--num_epoch", "1", "--skip_extras",
+         "--verbose", "0"] + hparams,
+        capture_output=True, text=True, timeout=600, cwd=root, env=env)
+    assert train.returncode == 0, train.stderr[-2000:]
+    f1_line = [l for l in train.stdout.splitlines() if "test macro-F1" in l]
+    assert f1_line
+
+    ev = subprocess.run(
+        [sys.executable, "-m", "kstar_tpu.cli.evaluate_model",
+         "--kind", "vision", "--model", "ViViT"] + hparams,
+        capture_output=True, text=True, timeout=600, cwd=root, env=env)
+    assert ev.returncode == 0, ev.stderr[-2000:]
+    ev_line = [l for l in ev.stdout.splitlines() if "test macro-F1" in l]
+    assert ev_line and ev_line[0] == f1_line[0]
+
+
 def test_quickstart_0d_command(tmp_path):
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     cmd = [sys.executable, "-m", "kstar_tpu.cli.train_0d", "--model", "MLSTM_FCN",
