@@ -152,8 +152,10 @@ F1_FCN, F1_LSTM = 32, 32
 F1_FRAMES, F1_DIST = 768, 63
 
 
-def _f1_data():
-    """Deterministic hard-fixture 0D window arrays (train/valid/test)."""
+def _f1_datasets():
+    """Deterministic hard-fixture 0D TSDatasets (train/valid/test) — the
+    single source of the F1 protocol's data; both sides of the parity
+    comparison (torch mirror and kstar_tpu) derive from these."""
     from kstar_tpu.config import Schema
     from kstar_tpu.data import TSDataset, prepare_0d_dataset, synthetic
 
@@ -164,12 +166,16 @@ def _f1_data():
     df_tr, df_va, df_te, scaler = prepare_0d_dataset(ts_df, cols, test_shot=None)
     mk = lambda df: TSDataset(df, disrupt_df, cols, seq_len=SEQ_LEN,
                               dist=F1_DIST, scaler=scaler)
+    return mk(df_tr), mk(df_va), mk(df_te)
 
+
+def _f1_data():
+    """Hard-fixture window arrays for the torch mirror."""
     def arrays(ds):
         X, y = ds.batch(np.arange(len(ds)))
         return np.asarray(X, np.float32), np.asarray(y, np.int64)
 
-    return arrays(mk(df_tr)), arrays(mk(df_va)), arrays(mk(df_te))
+    return tuple(arrays(ds) for ds in _f1_datasets())
 
 
 def _focal_alpha(y: np.ndarray) -> np.ndarray:
@@ -268,19 +274,12 @@ def measure_f1_tpu() -> float:
 
     from kstar_tpu.config import (LossConfig, MLSTMFCNConfig, OptimConfig,
                                   Schema, TrainConfig)
-    from kstar_tpu.data import TSDataset, prepare_0d_dataset, synthetic
     from kstar_tpu.eval import evaluate
     from kstar_tpu.models import build_0d_model
     from kstar_tpu.train import create_train_state, fit
 
     cols = Schema.INPUT_FEATURES
-    shots, disrupt_df, ts_df = synthetic.make_dataset(
-        n_shots=16, n_frames=F1_FRAMES, height=16, width=16, seed=11,
-        difficulty=1.0)
-    df_tr, df_va, df_te, scaler = prepare_0d_dataset(ts_df, cols, test_shot=None)
-    mk = lambda df: TSDataset(df, disrupt_df, cols, seq_len=SEQ_LEN,
-                              dist=F1_DIST, scaler=scaler)
-    train_ds, valid_ds, test_ds = mk(df_tr), mk(df_va), mk(df_te)
+    train_ds, valid_ds, test_ds = _f1_datasets()
 
     cfg = MLSTMFCNConfig(n_features=len(cols), fcn_dim=F1_FCN, seq_len=SEQ_LEN,
                          lstm_dim=F1_LSTM, lstm_n_layers=1)

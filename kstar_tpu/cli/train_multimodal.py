@@ -202,6 +202,7 @@ def main(argv=None):
 
         # shot-level alarm scoring over the test shots (the vision CLI's
         # alarm artifacts, for the fusion path)
+        curves = []
         try:
             import json as _json
 
@@ -230,14 +231,20 @@ def main(argv=None):
         shot = test_s[-1]
         row = disrupt_df[disrupt_df.shot == shot].iloc[0]
         d = ts_df[ts_df.shot == shot]
-        time_x, probs_c = predict_multimodal_shot(
-            model, state.params, state.batch_stats,
-            np.asarray(store.arrays[shot]), d[cols].to_numpy(np.float32),
-            d["time"].to_numpy(), scaler,
-            int(row.frame_startup), int(row.frame_cutoff),
-            float(row.tftsrt), float(row.tipminf),
-            seq_len=args.seq_len, dist=args.dist, dt=dt, tau=args.tau,
-            crop_size=crop, batch_size=args.batch_size, compute_dtype=dtype)
+        # the alarm block already swept this shot — reuse its curve instead
+        # of paying a second whole-shot device sweep
+        held = [(tx, p) for s, _, tx, p in curves if s == int(shot)]
+        if held:
+            time_x, probs_c = held[0]
+        else:
+            time_x, probs_c = predict_multimodal_shot(
+                model, state.params, state.batch_stats,
+                np.asarray(store.arrays[shot]), d[cols].to_numpy(np.float32),
+                d["time"].to_numpy(), scaler,
+                int(row.frame_startup), int(row.frame_cutoff),
+                float(row.tftsrt), float(row.tipminf),
+                seq_len=args.seq_len, dist=args.dist, dt=dt, tau=args.tau,
+                crop_size=crop, batch_size=args.batch_size, compute_dtype=dtype)
         if len(time_x):
             plot_shot_probability(d, time_x, probs_c, shot, float(row.tftsrt),
                                   float(row.tTQend), float(row.tipminf),

@@ -224,6 +224,7 @@ def main(argv=None):
 
     if not args.skip_extras:
         # shot-level alarm scoring over the test shots
+        curves = []
         try:
             import json as _json
 
@@ -256,12 +257,19 @@ def main(argv=None):
 
         shot = test_s[-1] if test_s else shots[-1]
         row = disrupt_df[disrupt_df.shot == shot].iloc[0]
-        frames = np.asarray(store.arrays[shot])
-        time_x, probs_c = predict_video_shot(
-            model, state.params, state.batch_stats, frames,
-            int(row.frame_startup), int(row.frame_cutoff),
-            seq_len=seq_len, dist=args.dist, crop_size=crop,
-            batch_size=args.batch_size, compute_dtype=dtype)
+        # the alarm block already swept this shot (sweep_prob_curves pads/
+        # suppresses identically to predict_video_shot) — reuse its curve
+        # instead of paying a second whole-shot device sweep
+        held = [(tx, p) for s, _, tx, p in curves if s == int(shot)]
+        if held:
+            time_x, probs_c = held[0]
+        else:
+            frames = np.asarray(store.arrays[shot])
+            time_x, probs_c = predict_video_shot(
+                model, state.params, state.batch_stats, frames,
+                int(row.frame_startup), int(row.frame_cutoff),
+                seq_len=seq_len, dist=args.dist, crop_size=crop,
+                batch_size=args.batch_size, compute_dtype=dtype)
         plot_shot_probability_zoom(
             time_x, probs_c, shot, float(row.tftsrt), float(row.tTQend),
             float(row.tipminf), args.dist / 210.0,

@@ -10,6 +10,7 @@ Conventions (TPU-native):
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Callable, Optional, Sequence, Tuple
 
 import jax
@@ -84,24 +85,28 @@ def apply_act(x: jnp.ndarray, act: str, alpha: float = 1.0) -> jnp.ndarray:
 GUIDED_BACKPROP = [False]
 
 
+def _glr_fwd(x, alpha):
+    return _glr(x, alpha), x
+
+
+def _glr_bwd(alpha, x, g):
+    return (g * (x > 0).astype(g.dtype) * (g > 0).astype(g.dtype),)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _glr(x, alpha):
+    return jnp.where(x > 0, x, alpha * x)
+
+
+_glr.defvjp(_glr_fwd, _glr_bwd)
+
+
 def guided_leaky_relu(x: jnp.ndarray, alpha: float = 0.01) -> jnp.ndarray:
     """Leaky ReLU whose VJP is the guided-backprop rule: the reference's
     custom Function passes gradient only where input > 0 and grad > 0
-    (reference visualize_cam.py:35-54); with alpha=0 this is exactly it."""
-
-    from functools import partial
-
-    @partial(jax.custom_vjp, nondiff_argnums=(1,))
-    def _glr(x, alpha):
-        return jnp.where(x > 0, x, alpha * x)
-
-    def _fwd(x, alpha):
-        return _glr(x, alpha), x
-
-    def _bwd(alpha, x, g):
-        return (g * (x > 0).astype(g.dtype) * (g > 0).astype(g.dtype),)
-
-    _glr.defvjp(_fwd, _bwd)
+    (reference visualize_cam.py:35-54); with alpha=0 this is exactly it.
+    The custom_vjp is defined once at module scope so repeated traces share
+    one function identity (per-call definitions would defeat jit caching)."""
     return _glr(x, alpha)
 
 
