@@ -96,27 +96,31 @@ def ts_windows(
     idx = int(tftsrt / dt)
     idx_last = n - seq_len - dist
 
+    # zone strides floored at 1: the reference's seq_len//7 (dataset.py:378)
+    # is 0 for seq_len < 7, looping forever — identical for seq_len >= 7
+    s3, s7 = max(seq_len // 3, 1), max(seq_len // 7, 1)
+
     while idx < idx_last:
         t = float(times[idx])
 
         if tftsrt <= t < t_disrupt - dt * (2 * seq_len + dist):
             starts.append(idx)
             labels.append(LABEL_NORMAL)
-            idx += seq_len // 3
+            idx += s3
         elif t_disrupt - dt * (2 * seq_len + dist) <= t < t_disrupt - dt * (seq_len + dist):
             starts.append(idx)
             labels.append(LABEL_NORMAL)
-            idx += seq_len // 7
+            idx += s7
         elif t_disrupt - dt * (seq_len + dist) <= t <= t_disrupt - dt * seq_len + dt:
             starts.append(idx)
             labels.append(LABEL_DISRUPT)
             idx += 1
         elif t < tftsrt:
-            idx += seq_len // 3
+            idx += s3
         elif t > t_disrupt:
             break
         else:
-            idx += seq_len // 3
+            idx += s3
 
     return ShotWindows(
         shot=shot,
@@ -211,9 +215,9 @@ def multimodal_windows(
         if diff <= dist:
             idx += 1
         elif diff > dist and abs(ts_orig[idx] - head) < seq_len * tau:
-            idx += int(tau * seq_len) // 7
+            idx += max(int(tau * seq_len) // 7, 1)   # floored: see ts_windows
         else:
-            idx += int(tau * seq_len) // 3
+            idx += max(int(tau * seq_len) // 3, 1)
 
     # keep only 0D windows whose anchor time is at or before t_disrupt
     ts_kept = [i for i in ts_indices if float(times[i]) <= t_disrupt]
@@ -263,16 +267,6 @@ def multimodal_video_frame_indices(starts: np.ndarray, seq_len: int, tau: int = 
     (reference src/dataset.py:658). For tau=1 this is [s+2, s+seq_len+1]."""
     offs = 1 + tau * np.arange(1, seq_len + 1, dtype=np.int64)
     return starts[:, None] + offs[None, :]
-
-
-def inference_video_starts(frame_cutoff: int, seq_len: int, stride: int = 1) -> np.ndarray:
-    """Stride-``stride`` sliding-window starts for whole-shot continuous
-    inference (reference src/utils/utility.py:371-472 VideoDataset): window k
-    covers frames [k*stride, k*stride + seq_len)."""
-    last = frame_cutoff - seq_len
-    if last < 0:
-        return np.zeros((0,), dtype=np.int64)
-    return np.arange(0, last + 1, stride, dtype=np.int64)
 
 
 def class_counts(labels: np.ndarray, n_classes: int = 2) -> np.ndarray:

@@ -7,9 +7,11 @@ model false-alarm during flat-top? This module sweeps every shot with the
 batched engine (infer/continuous.py) and aggregates:
 
   * detected     — alarm fired in [tftsrt + t_min, tipminf]
-  * missed       — no alarm before the current quench
-  * premature    — alarm within t_min of flat-top start (too early to be a
-                   credible precursor; a false alarm operationally)
+  * missed       — not detected (no alarm before the current quench, or
+                   only a premature one)
+  * premature    — alarm before tftsrt + t_min (too early to be a credible
+                   precursor; a false alarm operationally — counts missed,
+                   not detected, and is excluded from the warning stats)
   * warning time — tipminf - t_alarm (the reference's warning-time notion,
                    utility.py:843-853), with p50/p90 across detected shots
 
@@ -49,7 +51,12 @@ def sweep_prob_curves(
     from ..infer.continuous import VideoSweeper, startup_suppression
 
     compute_dtype = compute_dtype or jnp.bfloat16
-    shots = [s for s in shots if s in store]
+    have_meta = set(disrupt_df.shot)
+    skipped = [s for s in shots if s in store and s not in have_meta]
+    if skipped:
+        print(f"[sweep_prob_curves] skipping shots without disruption "
+              f"metadata: {skipped}")
+    shots = [s for s in shots if s in store and s in have_meta]
     if not shots:
         return []
 
@@ -86,15 +93,19 @@ def score_alarms(curves, threshold: float = 0.5, t_min: float = 1.0) -> Dict:
         t_cq = float(r.tipminf)
         tftsrt = float(r.tftsrt)
         w = warning_time(t_alarm, t_cq)
-        detected = t_alarm is not None and t_alarm <= t_cq
         premature = t_alarm is not None and t_alarm < tftsrt + t_min
+        # detected per the module contract: a credible alarm fired inside
+        # [tftsrt + t_min, tipminf] — a premature (pre-flat-top+t_min) alarm
+        # is operationally a false alarm and counts as missed, not detected,
+        # so detection_rate and the warning percentiles stay honest
+        detected = t_alarm is not None and t_alarm <= t_cq and not premature
         rows.append({
             "shot": int(shot),
             "t_alarm": t_alarm,
             "t_cq": t_cq,
             "warning_s": w if detected else np.nan,
             "detected": detected,
-            "missed": t_alarm is None or t_alarm > t_cq,
+            "missed": not detected,
             "premature": premature,
             "max_prob": float(probs.max()) if len(probs) else 0.0,
         })
@@ -165,9 +176,14 @@ def sweep_multimodal_prob_curves(
     from ..infer.continuous import predict_multimodal_shot
 
     compute_dtype = compute_dtype or jnp.bfloat16
+    have_meta = set(disrupt_df.shot)
     curves = []
     for shot in shots:
         if shot not in store:
+            continue
+        if shot not in have_meta:
+            print(f"[sweep_multimodal_prob_curves] skipping shot {shot}: "
+                  f"no disruption metadata")
             continue
         r = disrupt_df[disrupt_df.shot == shot].iloc[0]
         d = ts_df[ts_df.shot == shot]

@@ -49,9 +49,13 @@ def compute_permute_feature_importance(
 
     for j, col in enumerate(dataset.cols):
         original = data[:, j].copy()
-        data[:, j] = original[rng.permutation(len(original))]
-        loss_perm, _ = run()
-        data[:, j] = original
+        try:
+            data[:, j] = original[rng.permutation(len(original))]
+            loss_perm, _ = run()
+        finally:
+            # the dataset's table is shared state — restore the column even
+            # if the evaluation raises, or later users see shuffled values
+            data[:, j] = original
         results[col] = abs(loss_perm - loss_orig) / max(abs(loss_orig), 1e-12)
 
     if save_fig:

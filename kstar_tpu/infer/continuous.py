@@ -525,7 +525,12 @@ def predict_multimodal_shot(
     compute_dtype=jnp.bfloat16,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Whole-shot multimodal sweep (reference generate_prob_curve_from_multi,
-    src/utils/utility.py:1068-1178)."""
+    src/utils/utility.py:1068-1178).
+
+    ``dist`` is accepted for signature parity but does not shift the ladders:
+    the reference's inference MultiModalDataset (utility.py:515) stores dist
+    and never uses it when matching indices — the multimodal curve is
+    dist-independent by the reference's own construction."""
     from ..data.splits import Scaler
 
     if scaler is None:
@@ -534,9 +539,12 @@ def predict_multimodal_shot(
     else:
         data = scaler.transform(shot_values)
 
-    # stride-tau ladders, matched backward (reference utility.py:583-611)
+    # stride-tau ladders, matched backward (reference utility.py:583-611).
+    # ts_idx_end is clamped to the last valid row: when no 0D sample lies
+    # beyond t_end the reference's formula yields len(times) itself, which
+    # the time-axis reconstruction below would then index out of bounds
     video_indices = list(reversed(range(frame_end, frame_srt, -tau)))
-    ts_idx_end = len(times) - int(np.sum(times > t_end))
+    ts_idx_end = min(len(times) - int(np.sum(times > t_end)), len(times) - 1)
     ts_idx_start = int(t_srt / dt)
     ts_indices = list(reversed(range(ts_idx_end, ts_idx_start, -tau)))
 

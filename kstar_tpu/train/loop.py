@@ -359,9 +359,13 @@ def fit(
             train_step, state, train_ds, train_cfg.batch_size, rng,
             weight, m_list, gb_w, sampler=sampler, put=put,
             scan_step=scan_step, steps_per_dispatch=k, put_stack=put_stack)
-        va_loss, va_acc, va_f1 = run_eval_epoch(
+        # probs collected here feed the improvement figure below — the eval
+        # step computes them either way, so this costs one host transfer,
+        # not a second validation epoch
+        va_loss, va_acc, va_f1, va_probs = run_eval_epoch(
             eval_step, state, valid_ds, train_cfg.batch_size,
-            weight, m_list, gb_w, put=put_eval if put_eval is not None else put)
+            weight, m_list, gb_w, put=put_eval if put_eval is not None else put,
+            collect_probs=True)
         ep_s = _time.perf_counter() - t_ep
 
         hist.train_loss.append(tr_loss); hist.valid_loss.append(va_loss)
@@ -388,11 +392,7 @@ def fit(
                 # per epoch via evaluate_tensorboard, src/train.py:242-245)
                 try:
                     from ..eval.evaluate import evaluate_probs, evaluation_figure
-                    _, _, _, (probs, labels) = run_eval_epoch(
-                        eval_step, state, valid_ds, train_cfg.batch_size,
-                        weight, m_list, gb_w,
-                        put=put_eval if put_eval is not None else put,
-                        collect_probs=True)
+                    probs, labels = va_probs
                     fig = evaluation_figure(evaluate_probs(probs, labels))
                     writer.figure("eval/valid", fig, epoch)
                     import matplotlib.pyplot as plt

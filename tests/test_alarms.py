@@ -117,6 +117,33 @@ class TestMultimodalAlarmEvaluation:
         assert (np.diff(df.detection_rate.values) <= 1e-9).all()
 
 
+class TestMultimodalLadderEdge:
+    def test_no_ts_rows_beyond_t_end(self):
+        """When the 0D table ends at/before tipminf (admitted by the dataset
+        filter tmax >= tipminf - dist*dt), the reference's ts_idx_end formula
+        equals len(times); the clamp must keep the time-axis reconstruction
+        in bounds instead of raising IndexError."""
+        from kstar_tpu.infer.continuous import predict_multimodal_shot
+
+        dt = 1.0 / 210.0
+        n = 256
+        times = np.arange(n) * dt                # last sample < t_end below
+        values = np.random.default_rng(0).standard_normal((n, 4)).astype(np.float32)
+        frames = np.random.default_rng(1).integers(
+            0, 255, size=(n, 32, 32, 3), dtype=np.uint8)
+        model = BrightnessFusionModel()
+        v = model.init(jax.random.key(0), jnp.zeros((1, 8, 16, 16, 3)),
+                       jnp.zeros((1, 8, 4)))
+        t_end = float(times[-1]) + 5 * dt        # beyond every 0D sample
+        time_x, probs = predict_multimodal_shot(
+            model, v["params"], {}, frames, values, times, None,
+            frame_srt=4, frame_end=n - 4, t_srt=float(times[4]), t_end=t_end,
+            seq_len=8, dist=3, dt=dt, tau=1, crop_size=16, batch_size=32,
+            compute_dtype=jnp.float32)
+        assert len(time_x) == len(probs) and len(probs) > 0
+        assert np.isfinite(probs).all()
+
+
 class TestPrematureMetric:
     def test_score_alarms_flags_early_alarms(self):
         from kstar_tpu.eval.alarms import score_alarms
@@ -136,7 +163,11 @@ class TestPrematureMetric:
         assert bool(per[per.shot == 1].premature.iloc[0]) is True
         assert bool(per[per.shot == 2].premature.iloc[0]) is False
         assert s["premature"] == 1
-        assert s["detected"] == 2 and s["missed"] == 1
+        # the premature alarm is a false alarm, not a detection: shot 1 counts
+        # missed, and its (huge) margin must not enter the warning percentiles
+        assert s["detected"] == 1 and s["missed"] == 2
+        assert bool(per[per.shot == 1].detected.iloc[0]) is False
+        assert np.isnan(per[per.shot == 1].warning_s.iloc[0])
         assert abs(per[per.shot == 2].warning_s.iloc[0] - 0.99) < 0.05
 
 

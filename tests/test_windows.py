@@ -71,6 +71,18 @@ class TestTSWindows:
         dis = w.starts[w.labels == 0]
         assert np.all(np.diff(dis) == 1)
 
+    def test_small_seq_len_terminates(self):
+        """seq_len < 7 made the mid-zone stride seq_len//7 == 0, hanging the
+        walk forever (the reference dataset.py:378 has the same flaw at its
+        non-default sizes); the floored strides must terminate and stay
+        identical to the reference walk for seq_len >= 7."""
+        dt = 0.01
+        times = self._times(500, dt)
+        for seq_len in (2, 4, 6):
+            w = W.ts_windows(1, times, 0.5, 4.0, seq_len, 3, dt)
+            assert len(w) > 0
+            assert np.all(np.diff(w.starts) >= 1)
+
     def test_disruptive_zone_time_range(self):
         dt = 0.01
         seq_len, dist = 21, 3
@@ -133,13 +145,6 @@ class TestMultimodalWindows:
         expected = data[s + 1 : s + L * tau + 1 : tau, 0]
         got = W.gather_ts(data, np.array([s]), L, tau)[0, :, 0]
         np.testing.assert_array_equal(got, expected)
-
-
-class TestInferenceWindows:
-    def test_stride1_sweep(self):
-        starts = W.inference_video_starts(frame_cutoff=100, seq_len=21)
-        assert starts[0] == 0 and starts[-1] == 79
-        assert len(starts) == 80
 
 
 def test_class_counts():
