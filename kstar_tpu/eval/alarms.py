@@ -170,12 +170,16 @@ def sweep_multimodal_prob_curves(
     Each shot runs the fused-table one-dispatch multimodal sweep
     (infer/continuous.py predict_multimodal_shot — already padded, startup-
     suppressed, and smoothed like reference utility.py:1136-1168), so the
-    curves feed score_alarms directly."""
+    curves feed score_alarms directly. One MultiModalSweeper is built for
+    the whole library: its compiled program is shared across shots (frame/
+    row/chunk counts are bucketed) instead of retraced per shot."""
     import jax.numpy as jnp
 
-    from ..infer.continuous import predict_multimodal_shot
+    from ..infer.continuous import MultiModalSweeper, predict_multimodal_shot
 
     compute_dtype = compute_dtype or jnp.bfloat16
+    sweeper = MultiModalSweeper(model, params, batch_stats, seq_len, tau,
+                                crop_size, batch_size, compute_dtype)
     have_meta = set(disrupt_df.shot)
     curves = []
     for shot in shots:
@@ -195,7 +199,7 @@ def sweep_multimodal_prob_curves(
             float(r.tftsrt), float(r.tipminf),
             seq_len=seq_len, dist=dist, dt=dt, tau=tau,
             crop_size=crop_size, batch_size=batch_size,
-            compute_dtype=compute_dtype)
+            compute_dtype=compute_dtype, sweeper=sweeper)
         if len(time_x):
             curves.append((int(shot), r, time_x, probs))
     return curves

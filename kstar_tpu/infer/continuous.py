@@ -289,15 +289,7 @@ class VideoSweeper:
         return self._frames_dev
 
     def _chunkify(self, starts: np.ndarray):
-        n = len(starts)
-        B = self.batch_size
-        n_chunks = (n + B - 1) // B
-        # bucket the chunk count to the next power of two so ragged shot
-        # lengths reuse a handful of compiled programs instead of one each
-        n_buck = 1 << (n_chunks - 1).bit_length()
-        padded = np.zeros(n_buck * B, starts.dtype)
-        padded[:n] = starts
-        return jnp.asarray(padded.reshape(n_buck, B))
+        return chunkify_starts(starts, self.batch_size)
 
     def sweep(self, frames_u8: Optional[np.ndarray], starts: np.ndarray) -> np.ndarray:
         """Run all window starts; returns p_disrupt per window. Pass
@@ -421,6 +413,18 @@ def predict_video_shot(
     return time_x, prob_list
 
 
+def chunkify_starts(starts: np.ndarray, batch_size: int) -> jnp.ndarray:
+    """Pad window starts to a power-of-two chunk-count bucket and reshape to
+    (n_buck, B) for the scan sweeps — shared by every sweeper so ragged
+    window counts reuse a handful of compiled programs instead of one each."""
+    n = len(starts)
+    n_chunks = max((n + batch_size - 1) // batch_size, 1)
+    n_buck = 1 << (n_chunks - 1).bit_length()
+    padded = np.zeros(n_buck * batch_size, np.int64)
+    padded[:n] = starts
+    return jnp.asarray(padded.reshape(n_buck, batch_size))
+
+
 class TSSweeper:
     """Compiled stride-1 sweep for 0D models — same one-dispatch scan
     structure as VideoSweeper."""
@@ -449,12 +453,8 @@ class TSSweeper:
         if n == 0:
             return np.zeros(0, np.float32)
         data_dev = jax.device_put(np.ascontiguousarray(data.astype(np.float32)))
-        B = self.batch_size
-        n_chunks = (n + B - 1) // B
-        n_buck = 1 << (n_chunks - 1).bit_length()
-        padded = np.zeros(n_buck * B, starts.dtype)
-        padded[:n] = starts
-        probs = np.asarray(self._sweep_all(data_dev, jnp.asarray(padded.reshape(n_buck, B))))
+        probs = np.asarray(self._sweep_all(
+            data_dev, chunkify_starts(starts, self.batch_size)))
         return probs.reshape(-1)[:n]
 
 
@@ -505,6 +505,128 @@ def predict_0d_shot(
     return time_x, fine
 
 
+class MultiModalSweeper:
+    """Compiled paired video+0D window sweep for fusion models — the
+    multimodal counterpart of VideoSweeper. Closures are traced ONCE per
+    sweeper, and frame counts, 0D row counts, and chunk counts are padded to
+    power-of-two buckets (edge-replicated; gathers only reference real
+    indices), so a library sweep reuses a handful of compiled programs
+    instead of retracing the whole fused program per shot."""
+
+    def __init__(self, model, params, batch_stats, seq_len: int, tau: int = 1,
+                 crop_size: int = 128, batch_size: int = 32,
+                 compute_dtype=jnp.bfloat16):
+        self.seq_len, self.tau = seq_len, tau
+        self.crop_size, self.batch_size = crop_size, batch_size
+
+        # video window ends at v+1 (frames v+1-tau*(L-1) .. v+1, reference
+        # paths[idx+1 : idx-tau*L+1 : -tau][::-1]); ts window ends at t
+        v_offsets = jnp.asarray(1 - tau * np.arange(seq_len - 1, -1, -1))
+        t_offsets = jnp.asarray(-tau * np.arange(seq_len - 1, -1, -1))
+        mean = jnp.asarray(PIXEL_MEAN_BGR, compute_dtype)
+
+        variables = {"params": params, "batch_stats": batch_stats}
+        use_tokens = hasattr(model, "spatial_cls")
+
+        if use_tokens:
+            # fusion fast path: per-shot spatial-cls table for the video
+            # branch (see VideoSweeper); per window only the temporal
+            # transformer + 0D encoder + fusion head run. Same fused-Pallas-
+            # kernel gate as the video sweep (_make_cls_table_fn).
+            cls_table_fn, _ = _make_cls_table_fn(model, variables, params,
+                                                 seq_len, compute_dtype)
+
+            def preprocess(frames):
+                x = frames.astype(compute_dtype) - mean
+                tokens = model.apply(variables, x, method="embed_frames")
+                return cls_table_fn(tokens)                        # (L, T, D)
+
+            def chunk_probs(table, ts_data, v_starts, t_starts):
+                vi = jnp.clip(v_starts[:, None] + v_offsets[None, :], 0,
+                              table.shape[1] - 1)
+                win_cls = table[jnp.arange(seq_len)[None, :], vi]  # (B, L, D)
+                ti = jnp.clip(t_starts[:, None] + t_offsets[None, :], 0,
+                              ts_data.shape[0] - 1)
+                logits = model.apply(variables, win_cls, ts_data[ti],
+                                     method="forward_spatial_cls")
+                return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[:, 0]
+        else:
+            def preprocess(frames):
+                return frames
+
+            def chunk_probs(frames, ts_data, v_starts, t_starts):
+                vi = jnp.clip(v_starts[:, None] + v_offsets[None, :], 0,
+                              frames.shape[0] - 1)
+                win = frames[vi]
+                x = win.astype(compute_dtype) - mean
+                ti = jnp.clip(t_starts[:, None] + t_offsets[None, :], 0,
+                              ts_data.shape[0] - 1)
+                x_ts = ts_data[ti]
+                out = model.apply(variables, x, x_ts, train=False)
+                logits = out[0] if isinstance(out, tuple) else out
+                return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[:, 0]
+
+        def sweep_all(frames, ts_data, v_chunks, t_chunks):
+            data = preprocess(frames)
+            def body(_, vt):
+                return None, chunk_probs(data, ts_data, vt[0], vt[1])
+            _, p = jax.lax.scan(body, None, (v_chunks, t_chunks))
+            return p
+
+        self._sweep_all = jax.jit(sweep_all)
+
+    @staticmethod
+    def _pad_pow2(arr: np.ndarray) -> np.ndarray:
+        buck = 1 << (len(arr) - 1).bit_length()
+        if len(arr) < buck:
+            arr = np.concatenate(
+                [arr, np.repeat(arr[-1:], buck - len(arr), axis=0)])
+        return arr
+
+    def sweep(self, frames_u8: np.ndarray, data: np.ndarray,
+              video_keep, ts_keep) -> np.ndarray:
+        """One-dispatch paired sweep: frames (T, H, W, C) uint8, data (R, F)
+        scaled 0D rows, matched window-end ladders -> p_disrupt per window."""
+        m = len(video_keep)
+        if m == 0:
+            return np.zeros(0, np.float32)
+        H, W = frames_u8.shape[1], frames_u8.shape[2]
+        y0 = H // 2 - self.crop_size // 2
+        x0 = W // 2 - self.crop_size // 2
+        cropped = self._pad_pow2(np.ascontiguousarray(
+            frames_u8[:, y0:y0 + self.crop_size, x0:x0 + self.crop_size, :]))
+        rows = self._pad_pow2(np.ascontiguousarray(data.astype(np.float32)))
+        p = np.asarray(self._sweep_all(
+            jax.device_put(cropped), jax.device_put(rows),
+            chunkify_starts(np.asarray(video_keep, np.int64), self.batch_size),
+            chunkify_starts(np.asarray(ts_keep, np.int64), self.batch_size)))
+        return p.reshape(-1)[:m]
+
+
+def multimodal_ladders(times: np.ndarray, frame_srt: int, frame_end: int,
+                       t_srt: float, t_end: float, seq_len: int, dt: float,
+                       tau: int):
+    """Backward-matched stride-tau index ladders (reference utility.py:583-611).
+
+    ts_idx_end is clamped to the last valid row: when no 0D sample lies
+    beyond t_end the reference's formula yields len(times) itself, which the
+    time-axis reconstruction would then index out of bounds."""
+    video_indices = list(reversed(range(frame_end, frame_srt, -tau)))
+    ts_idx_end = min(len(times) - int(np.sum(times > t_end)), len(times) - 1)
+    ts_idx_start = int(t_srt / dt)
+    ts_indices = list(reversed(range(ts_idx_end, ts_idx_start, -tau)))
+
+    if len(video_indices) > len(ts_indices):
+        video_indices = video_indices[-len(ts_indices):]
+    elif len(video_indices) < len(ts_indices):
+        ts_indices = ts_indices[-len(video_indices):]
+
+    video_keep = [i for i in video_indices if i > seq_len * tau]
+    ts_keep = [i for i in ts_indices if i > seq_len * tau]
+    m = min(len(video_keep), len(ts_keep))
+    return video_keep[-m:] if m else [], ts_keep[-m:] if m else []
+
+
 def predict_multimodal_shot(
     model, params, batch_stats,
     frames_u8: np.ndarray,
@@ -523,6 +645,7 @@ def predict_multimodal_shot(
     batch_size: int = 32,
     fps: float = FPS,
     compute_dtype=jnp.bfloat16,
+    sweeper: Optional[MultiModalSweeper] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Whole-shot multimodal sweep (reference generate_prob_curve_from_multi,
     src/utils/utility.py:1068-1178).
@@ -530,7 +653,11 @@ def predict_multimodal_shot(
     ``dist`` is accepted for signature parity but does not shift the ladders:
     the reference's inference MultiModalDataset (utility.py:515) stores dist
     and never uses it when matching indices — the multimodal curve is
-    dist-independent by the reference's own construction."""
+    dist-independent by the reference's own construction.
+
+    Pass a pre-built ``sweeper`` when sweeping many shots (as
+    eval.alarms.sweep_multimodal_prob_curves does) so the compiled program
+    is shared across shots instead of retraced per call."""
     from ..data.splits import Scaler
 
     if scaler is None:
@@ -539,96 +666,15 @@ def predict_multimodal_shot(
     else:
         data = scaler.transform(shot_values)
 
-    # stride-tau ladders, matched backward (reference utility.py:583-611).
-    # ts_idx_end is clamped to the last valid row: when no 0D sample lies
-    # beyond t_end the reference's formula yields len(times) itself, which
-    # the time-axis reconstruction below would then index out of bounds
-    video_indices = list(reversed(range(frame_end, frame_srt, -tau)))
-    ts_idx_end = min(len(times) - int(np.sum(times > t_end)), len(times) - 1)
-    ts_idx_start = int(t_srt / dt)
-    ts_indices = list(reversed(range(ts_idx_end, ts_idx_start, -tau)))
-
-    if len(video_indices) > len(ts_indices):
-        video_indices = video_indices[-len(ts_indices):]
-    elif len(video_indices) < len(ts_indices):
-        ts_indices = ts_indices[-len(video_indices):]
-
-    video_keep = [i for i in video_indices if i > seq_len * tau]
-    ts_keep = [i for i in ts_indices if i > seq_len * tau]
-    m = min(len(video_keep), len(ts_keep))
-    video_keep, ts_keep = video_keep[-m:], ts_keep[-m:]
-    if m == 0:
+    video_keep, ts_keep = multimodal_ladders(
+        times, frame_srt, frame_end, t_srt, t_end, seq_len, dt, tau)
+    if not video_keep:
         return np.zeros(0), np.zeros(0)
 
-    # device sweep: video window ends at v+1 (frames v+1-tau*(L-1) .. v+1,
-    # reference paths[idx+1 : idx-tau*L+1 : -tau][::-1]); ts window ends at t
-    v_offsets = jnp.asarray(1 - tau * np.arange(seq_len - 1, -1, -1))
-    t_offsets = jnp.asarray(-tau * np.arange(seq_len - 1, -1, -1))
-    mean = jnp.asarray(PIXEL_MEAN_BGR, compute_dtype)
-
-    variables = {"params": params, "batch_stats": batch_stats}
-    use_tokens = hasattr(model, "spatial_cls")
-
-    if use_tokens:
-        # fusion fast path: per-shot spatial-cls table for the video branch
-        # (see VideoSweeper); per window only the temporal transformer + 0D
-        # encoder + fusion head run. Same fused-Pallas-kernel gate as the
-        # video sweep (_make_cls_table_fn).
-        cls_table_fn, _ = _make_cls_table_fn(model, variables, params,
-                                             seq_len, compute_dtype)
-
-        def preprocess(frames):
-            x = frames.astype(compute_dtype) - mean
-            tokens = model.apply(variables, x, method="embed_frames")
-            return cls_table_fn(tokens)                            # (L, T, D)
-
-        def chunk_probs(table, ts_data, v_starts, t_starts):
-            vi = jnp.clip(v_starts[:, None] + v_offsets[None, :], 0, table.shape[1] - 1)
-            win_cls = table[jnp.arange(seq_len)[None, :], vi]      # (B, L, D)
-            ti = jnp.clip(t_starts[:, None] + t_offsets[None, :], 0, ts_data.shape[0] - 1)
-            logits = model.apply(variables, win_cls, ts_data[ti],
-                                 method="forward_spatial_cls")
-            return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[:, 0]
-    else:
-        def preprocess(frames):
-            return frames
-
-        def chunk_probs(frames, ts_data, v_starts, t_starts):
-            vi = jnp.clip(v_starts[:, None] + v_offsets[None, :], 0, frames.shape[0] - 1)
-            win = frames[vi]
-            x = win.astype(compute_dtype) - mean
-            ti = jnp.clip(t_starts[:, None] + t_offsets[None, :], 0, ts_data.shape[0] - 1)
-            x_ts = ts_data[ti]
-            out = model.apply(variables, x, x_ts, train=False)
-            logits = out[0] if isinstance(out, tuple) else out
-            return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[:, 0]
-
-    def sweep_all(frames, ts_data, v_chunks, t_chunks):
-        data = preprocess(frames)
-        def body(_, vt):
-            return None, chunk_probs(data, ts_data, vt[0], vt[1])
-        _, p = jax.lax.scan(body, None, (v_chunks, t_chunks))
-        return p
-
-    sweep_all = jax.jit(sweep_all)
-    # pre-crop once on host; whole sweep is one device dispatch
-    H, W = frames_u8.shape[1], frames_u8.shape[2]
-    y0, x0 = H // 2 - crop_size // 2, W // 2 - crop_size // 2
-    frames_dev = jax.device_put(np.ascontiguousarray(
-        frames_u8[:, y0:y0 + crop_size, x0:x0 + crop_size, :]))
-    ts_dev = jax.device_put(np.ascontiguousarray(data.astype(np.float32)))
-
-    B = batch_size
-    n_chunks = (m + B - 1) // B
-    n_buck = 1 << (n_chunks - 1).bit_length()
-    v_pad = np.zeros(n_buck * B, np.int64)
-    t_pad = np.zeros(n_buck * B, np.int64)
-    v_pad[:m] = np.asarray(video_keep, np.int64)
-    t_pad[:m] = np.asarray(ts_keep, np.int64)
-    p = np.asarray(sweep_all(frames_dev, ts_dev,
-                             jnp.asarray(v_pad.reshape(n_buck, B)),
-                             jnp.asarray(t_pad.reshape(n_buck, B))))
-    probs = p.reshape(-1)[:m]
+    if sweeper is None:
+        sweeper = MultiModalSweeper(model, params, batch_stats, seq_len, tau,
+                                    crop_size, batch_size, compute_dtype)
+    probs = sweeper.sweep(frames_u8, data, video_keep, ts_keep)
 
     # piecewise time-axis reconstruction (reference utility.py:1136-1160)
     t_first = float(times[ts_keep[0]])

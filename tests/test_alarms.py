@@ -144,6 +144,30 @@ class TestMultimodalLadderEdge:
         assert np.isfinite(probs).all()
 
 
+class TestMultiModalSweeperCache:
+    def test_shared_compile_across_shot_lengths(self):
+        """Library sweeps share one compiled program per shape bucket: two
+        shots whose frame/row counts land in the same power-of-two bucket
+        must not retrace (the per-call jax.jit this replaces recompiled the
+        whole fused program for every shot)."""
+        from kstar_tpu.infer import MultiModalSweeper
+
+        model = BrightnessFusionModel()
+        v = model.init(jax.random.key(0), jnp.zeros((1, 8, 16, 16, 3)),
+                       jnp.zeros((1, 8, 4)))
+        sw = MultiModalSweeper(model, v["params"], {}, seq_len=8, tau=1,
+                               crop_size=16, batch_size=32,
+                               compute_dtype=jnp.float32)
+        rng = np.random.default_rng(0)
+        for n in (150, 200):                      # both bucket to 256 frames
+            frames = rng.integers(0, 255, size=(n, 32, 32, 3), dtype=np.uint8)
+            data = rng.standard_normal((n, 4)).astype(np.float32)
+            keep = list(range(12, n - 4))
+            p = sw.sweep(frames, data, keep, keep)
+            assert p.shape == (len(keep),) and np.isfinite(p).all()
+        assert sw._sweep_all._cache_size() == 1
+
+
 class TestPrematureMetric:
     def test_score_alarms_flags_early_alarms(self):
         from kstar_tpu.eval.alarms import score_alarms
