@@ -26,14 +26,23 @@ from .splits import Scaler
 # shot validity filters (shared by 0D + multimodal)
 # ---------------------------------------------------------------------------
 
+def _shot_groups(ts_df: pd.DataFrame) -> Dict[int, pd.DataFrame]:
+    """One groupby pass over the 0D table (row order preserved) — replaces
+    the O(n_shots x n_rows) repeated boolean masks at dataset construction."""
+    return {int(s): g for s, g in ts_df.groupby("shot", sort=False)}
+
+
 def filter_valid_shots(ts_df: pd.DataFrame, cols: Sequence[str],
                        shot_list: Sequence[int]) -> List[int]:
     """Drop shots with >50% nulls, >50% zeros, or a constant signal
-    (reference src/dataset.py:300-338 / :518-552)."""
+    (reference src/dataset.py:300-338 / :518-552). ``ts_df`` may be a
+    DataFrame or a precomputed {shot: per-shot frame} dict (_shot_groups) —
+    the dict avoids re-masking the full table once per shot."""
+    groups = ts_df if isinstance(ts_df, dict) else _shot_groups(ts_df)
     keep: List[int] = []
     for shot in shot_list:
-        df = ts_df[ts_df.shot == shot]
-        if len(df) == 0:
+        df = groups.get(int(shot))
+        if df is None or len(df) == 0:
             continue
         sub = df[list(cols)]
         if (sub.isna().sum() > 0.5 * len(df)).any():
@@ -47,17 +56,19 @@ def filter_valid_shots(ts_df: pd.DataFrame, cols: Sequence[str],
 
 
 class _ShotTable:
-    """Per-shot 0D arrays concatenated into one contiguous buffer."""
+    """Per-shot 0D arrays concatenated into one contiguous buffer.
+    ``ts_df``: full table or a _shot_groups dict."""
 
-    def __init__(self, ts_df: pd.DataFrame, cols: Sequence[str], shots: Sequence[int],
+    def __init__(self, ts_df, cols: Sequence[str], shots: Sequence[int],
                  scaler: Optional[Scaler]):
         self.cols = list(cols)
         self.shots = list(shots)
         self.offset: Dict[int, int] = {}
+        groups = ts_df if isinstance(ts_df, dict) else _shot_groups(ts_df)
         datas, times = [], []
         off = 0
         for shot in self.shots:
-            df = ts_df[ts_df.shot == shot]
+            df = groups[int(shot)]
             x = df[self.cols].to_numpy(dtype=np.float32, copy=True)
             # NaN policy: fillna(0) after validity filtering (reference
             # src/dataset.py:335-338)
@@ -93,10 +104,11 @@ class TSDataset:
         self.dt = dt
         self.cols = list(cols)
 
+        groups = _shot_groups(ts_df)
         shot_list = [s for s in np.unique(ts_df.shot.values).tolist()
                      if s in set(disrupt_df.shot.values.tolist())]
-        shot_list = filter_valid_shots(ts_df, cols, shot_list)
-        self.table = _ShotTable(ts_df, cols, shot_list, scaler)
+        shot_list = filter_valid_shots(groups, cols, shot_list)
+        self.table = _ShotTable(groups, cols, shot_list, scaler)
 
         per_shot = []
         for shot in shot_list:
@@ -250,18 +262,19 @@ class MultiModalDataset:
         ts_df[self.cols] = ts_df[self.cols].interpolate(method="linear", limit_direction="forward")
         ts_df[self.cols] = ts_df[self.cols].ffill()
 
-        shot_list = [s for s in shots if s in store and s in set(ts_df.shot.values.tolist())]
-        shot_list = filter_valid_shots(ts_df, cols, shot_list)
+        groups = _shot_groups(ts_df)
+        shot_list = [s for s in shots if s in store and int(s) in groups]
+        shot_list = filter_valid_shots(groups, cols, shot_list)
         # time-coverage check (reference src/dataset.py:526-528)
         kept = []
         for shot in shot_list:
             row = disrupt_df[disrupt_df.shot == shot].iloc[0]
-            tmax = float(ts_df[ts_df.shot == shot].time.max())
+            tmax = float(groups[int(shot)].time.max())
             if tmax >= float(row.tipminf) - dist * dt:
                 kept.append(shot)
         shot_list = kept
 
-        self.table = _ShotTable(ts_df, cols, shot_list, scaler)
+        self.table = _ShotTable(groups, cols, shot_list, scaler)
 
         vid_starts, ts_starts, labels, shot_ids = [], [], [], []
         for shot in shot_list:

@@ -75,44 +75,74 @@ def eval_batches(n: int, batch_size: int) -> Iterator[Tuple[np.ndarray, np.ndarr
         yield idx, mask
 
 
+def _relay(producer_body: Callable, depth: int):
+    """Shared producer-thread scaffolding for the batch generators.
+
+    Guarantees: the sentinel is ALWAYS enqueued (even when the producer body
+    raises — the exception re-raises in the consumer), and an abandoned
+    consumer (the generator is closed or garbage-collected mid-epoch, e.g.
+    a train step raised) unblocks the producer instead of leaving it parked
+    forever on a full queue with device batches pinned in HBM: every put is
+    a timeout loop checking the stop event that the consumer's ``finally``
+    sets."""
+    import queue as _queue
+    import threading
+
+    q: "_queue.Queue" = _queue.Queue(maxsize=depth)
+    SENTINEL = object()
+    stop = threading.Event()
+    err: list = []
+
+    def send(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except _queue.Full:
+                continue
+        return False
+
+    def run():
+        try:
+            producer_body(send, stop)
+        except BaseException as e:  # noqa: BLE001 — relayed to consumer
+            err.append(e)
+        finally:
+            send(SENTINEL)
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is SENTINEL:
+                break
+            yield item
+    finally:
+        stop.set()
+        t.join(timeout=5.0)
+    if err:
+        raise err[0]
+
+
 def threaded_batches(dataset, index_iter, put: Optional[Callable] = None,
                      depth: int = 4):
     """Background-thread batch gathering: host window gathers (and optional
     device puts) run ahead of consumption so TPU steps never wait on IO —
     the single-process replacement for torch DataLoader workers."""
-    import queue
-    import threading
-
-    q: "queue.Queue" = queue.Queue(maxsize=depth)
     indices = list(index_iter)
-    SENTINEL = object()
 
-    err: list = []
+    def body(send, stop):
+        for idx in indices:
+            if stop.is_set():
+                return
+            item = dataset.batch(idx)
+            if put is not None:
+                item = put(item)
+            if not send(item):
+                return
 
-    def producer():
-        # sentinel ALWAYS enqueued (even if batch/put raises) so the
-        # consumer never blocks forever; the exception re-raises below
-        try:
-            for idx in indices:
-                item = dataset.batch(idx)
-                if put is not None:
-                    item = put(item)
-                q.put(item)
-        except BaseException as e:  # noqa: BLE001 — relayed to consumer
-            err.append(e)
-        finally:
-            q.put(SENTINEL)
-
-    t = threading.Thread(target=producer, daemon=True)
-    t.start()
-    while True:
-        item = q.get()
-        if item is SENTINEL:
-            break
-        yield item
-    t.join()
-    if err:
-        raise err[0]
+    yield from _relay(body, depth)
 
 
 def grouped_batches(dataset, index_iter, k: int, put: Optional[Callable] = None,
@@ -131,15 +161,10 @@ def grouped_batches(dataset, index_iter, k: int, put: Optional[Callable] = None,
     for the stack would silently shard the scan/STEP axis instead,
     triggering a full reshard + collectives inside every dispatch. The
     CLIs wire this; library callers on a mesh should too."""
-    import queue
-    import threading
-
     if put_stack is None:
         put_stack = put
     indices = list(index_iter)
     n_full = len(indices) // k
-    q: "queue.Queue" = queue.Queue(maxsize=depth)
-    SENTINEL = object()
 
     def gather_stack(group):
         batch, labels = dataset.batch(np.concatenate(group))
@@ -148,35 +173,25 @@ def grouped_batches(dataset, index_iter, k: int, put: Optional[Callable] = None,
                  else shp(batch))
         return batch, labels.reshape(k, -1)
 
-    err: list = []
+    def body(send, stop):
+        for i in range(n_full):
+            if stop.is_set():
+                return
+            item = gather_stack(indices[i * k:(i + 1) * k])
+            if put_stack is not None:
+                item = put_stack(item)
+            if not send(("stack", item)):
+                return
+        for idx in indices[n_full * k:]:
+            if stop.is_set():
+                return
+            item = dataset.batch(idx)
+            if put is not None:
+                item = put(item)
+            if not send(("single", item)):
+                return
 
-    def producer():
-        try:
-            for i in range(n_full):
-                item = gather_stack(indices[i * k:(i + 1) * k])
-                if put_stack is not None:
-                    item = put_stack(item)
-                q.put(("stack", item))
-            for idx in indices[n_full * k:]:
-                item = dataset.batch(idx)
-                if put is not None:
-                    item = put(item)
-                q.put(("single", item))
-        except BaseException as e:  # noqa: BLE001 — relayed to consumer
-            err.append(e)
-        finally:
-            q.put(SENTINEL)
-
-    t = threading.Thread(target=producer, daemon=True)
-    t.start()
-    while True:
-        item = q.get()
-        if item is SENTINEL:
-            break
-        yield item
-    t.join()
-    if err:
-        raise err[0]
+    yield from _relay(body, depth)
 
 
 def prefetch_to_device(iterator, put: Callable, depth: int = 2):

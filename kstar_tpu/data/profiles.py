@@ -30,9 +30,12 @@ def profile_tensor(ts_df, kind: str = "te", n_points: int = 128) -> np.ndarray:
     """Build a (T, n_points) Te or Ne radial-profile tensor from a shot's
     table (reference optional profile tensors,
     src/generate_numerical_data.py:245-272)."""
-    cols = (Schema.TS_TE_CORE_COLS + Schema.TS_TE_EDGE_COLS[1:]) if kind == "te" \
+    full = (Schema.TS_TE_CORE_COLS + Schema.TS_TE_EDGE_COLS[1:]) if kind == "te" \
         else (Schema.TS_NE_CORE_COLS + Schema.TS_NE_EDGE_COLS[1:])
-    cols = [c for c in cols if c in ts_df.columns]
+    # each channel keeps ITS radius when columns are missing — a prefix
+    # slice of RADIUS would silently assign core radii to edge channels
+    pairs = [(c, r) for c, r in zip(full, Schema.RADIUS) if c in ts_df.columns]
+    cols = [c for c, _ in pairs]
+    radius = [r for _, r in pairs]
     vals = ts_df[cols].to_numpy(np.float64)
-    radius = Schema.RADIUS[: len(cols)]
     return get_profile(vals, n_points, radius)

@@ -163,12 +163,7 @@ def resample_shot(d: pd.DataFrame, cols: Sequence[str], tftsrt: float,
     for col in cols:
         if col == "\\ipmhd":
             continue
-        q1 = d[col].quantile(0.15)
-        q3 = d[col].quantile(0.85)
-        iqr = q3 - q1
-        lo, hi = q1 - 1.25 * iqr, q3 + 1.25 * iqr
-        d.loc[:, col] = np.where(d[col] > hi, hi,
-                                 np.where(d[col] < lo, lo, d[col]))
+        d.loc[:, col] = iqr_clip(d[col].values)
 
     t = d.time.values.reshape(-1)
     t_start = tftsrt - dt * 4

@@ -55,9 +55,14 @@ def repack_jpg_folder(folder: str, resize: Optional[int] = None) -> np.ndarray:
     frames = []
     for p in paths:
         img = cv2.imread(p)
-        if resize and img.shape[0] != resize:
+        if img is None:
+            raise ValueError(f"unreadable jpg: {p}")
+        if resize and img.shape[:2] != (resize, resize):
             img = cv2.resize(img, (resize, resize), interpolation=cv2.INTER_CUBIC)
         frames.append(img)
+    if frames and any(f.shape != frames[0].shape for f in frames):
+        raise ValueError(f"mixed frame shapes in {folder} "
+                         f"(pass resize= to normalize)")
     return np.stack(frames).astype(np.uint8) if frames else np.zeros((0, 0, 0, 3), np.uint8)
 
 

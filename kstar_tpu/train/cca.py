@@ -23,9 +23,8 @@ def make_cca_step(model, out_dim: int, use_all_singular_values: bool = False):
     maximizes canonical correlation between the two modality latents."""
 
     def step(state: TrainState, batch):
-        rng = jax.random.fold_in(state.rng, state.step)
-        rngs = {"noise": rng, "dropout": rng}
-
+        # deterministic: every fusion encode method runs train=False, so no
+        # noise/dropout rng streams are consumed during CCA pretraining
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
             _, h_vis, h_ts = model.apply(variables, batch["video"], batch["0D"],

@@ -27,8 +27,9 @@ from ..config import LossConfig, TrainConfig
 from ..losses import classification_loss, estimate_gb_weights
 from .early_stopping import EarlyStopping
 from .logging import MetricWriter
-from .loop import (History, _loss_aux, make_eval_step, make_scan_steps,
-                   make_train_step, run_eval_epoch, run_train_epoch)
+from .loop import (History, _loss_aux, guarded_update, make_eval_step,
+                   make_scan_steps, make_train_step, run_eval_epoch,
+                   run_train_epoch)
 from .metrics import macro_f1
 from .state import TrainState, save_checkpoint
 
@@ -67,11 +68,7 @@ def _stream_step_core(model, loss_cfg: LossConfig, stream: str,
             return loss, mut.get("batch_stats", state.batch_stats)
 
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-        finite = jnp.isfinite(loss)
-        grads = jax.tree.map(lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
-        candidate = state.apply_gradients(grads, new_batch_stats=new_stats)
-        sel = lambda new, old: jax.tree.map(lambda n, o: jnp.where(finite, n, o), new, old)
-        new_params = sel(candidate.params, state.params)
+        new_state = guarded_update(state, grads, new_stats, jnp.isfinite(loss))
 
         # torch skips params with grad=None, so the inactive stream must not
         # move (AdamW weight decay would otherwise shrink it): restore the
@@ -79,15 +76,11 @@ def _stream_step_core(model, loss_cfg: LossConfig, stream: str,
         # at a time, src/GradientBlending.py:74-76)
         keep = {"video": ("vis_model",), "0D": ("ts_model",)}.get(stream)
         if keep is not None:
-            new_params = {k: (new_params[k] if k in keep else state.params[k])
-                          for k in state.params}
+            new_state = new_state.replace(params={
+                k: (new_state.params[k] if k in keep else state.params[k])
+                for k in state.params})
 
-        return state.replace(
-            step=jnp.where(finite, candidate.step, state.step),
-            params=new_params,
-            batch_stats=sel(candidate.batch_stats, state.batch_stats),
-            opt_state=sel(candidate.opt_state, state.opt_state),
-        ), loss
+        return new_state, loss
 
     return step
 
@@ -204,25 +197,36 @@ def gb_estimate(
     loss_cfg: LossConfig, batch_size: int, n_epochs: int = 4,
     seed: int = 42, put=None, pre_fn=None, pre_fn_eval=None,
     steps_per_dispatch: int = 1, put_stack=None,
+    step_cache: Optional[Dict] = None,
 ) -> Dict[str, float]:
     """Offline G-Blend estimate. The reference reloads last.pt per stream
     (reference :74-76); here each stream trains from a copy of the current
     functional state — no disk round-trip. steps_per_dispatch > 1 runs each
     probe epoch as ceil(steps/K) scan dispatches instead of one dispatch per
     step (the relay's per-dispatch round-trip dominates these small
-    epochs)."""
+    epochs). Pass a ``step_cache`` dict when calling repeatedly (fit_gb's
+    dynamic re-estimation does) so the per-stream jitted programs are built
+    once instead of retraced+recompiled on every call."""
     counts = train_ds.class_counts()
     weight, m_list = _loss_aux(loss_cfg, counts, 0, max(n_epochs, 1))
 
     train_hist: Dict[str, list] = {}
     valid_hist: Dict[str, list] = {}
     rng = np.random.default_rng(seed)
+    cache = step_cache if step_cache is not None else {}
 
     for stream in STREAMS:
-        step = make_stream_step(model, loss_cfg, stream, pre_fn=pre_fn)
-        scan_step = (make_stream_scan_steps(model, loss_cfg, stream, pre_fn=pre_fn)
-                     if steps_per_dispatch > 1 else None)
-        ev = make_stream_eval(model, loss_cfg, stream, pre_fn=pre_fn_eval)
+        if (stream, "step") not in cache:
+            cache[(stream, "step")] = make_stream_step(
+                model, loss_cfg, stream, pre_fn=pre_fn)
+            cache[(stream, "scan")] = (
+                make_stream_scan_steps(model, loss_cfg, stream, pre_fn=pre_fn)
+                if steps_per_dispatch > 1 else None)
+            cache[(stream, "eval")] = make_stream_eval(
+                model, loss_cfg, stream, pre_fn=pre_fn_eval)
+        step = cache[(stream, "step")]
+        scan_step = cache[(stream, "scan")]
+        ev = cache[(stream, "eval")]
         s = state  # functional copy: updates below never mutate the original
         tr_losses, va_losses = [], []
         for _ in range(n_epochs):
@@ -283,6 +287,7 @@ def fit_gb(
     last_path = os.path.join(train_cfg.weight_dir, f"{tag}_last.ckpt")
     best_path = os.path.join(train_cfg.weight_dir, f"{tag}_best.ckpt")
 
+    gb_step_cache: Dict = {}   # shared across re-estimations: compile once
     for epoch in range(train_cfg.num_epoch):
         weight, m_list = _loss_aux(loss_cfg, counts, epoch, train_cfg.num_epoch)
 
@@ -291,7 +296,8 @@ def fit_gb(
                                      train_cfg.batch_size, n_epochs_gb_estimate,
                                      train_cfg.seed, put, pre_fn=pre_fn,
                                      pre_fn_eval=pre_fn_eval,
-                                     steps_per_dispatch=k, put_stack=put_stack)
+                                     steps_per_dispatch=k, put_stack=put_stack,
+                                     step_cache=gb_step_cache)
             gb_arr = jnp.asarray([gb_weights["video"], gb_weights["0D"],
                                   gb_weights["multi"]], jnp.float32)
             if writer:

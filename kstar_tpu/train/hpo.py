@@ -139,10 +139,13 @@ def run_asha(
         else:
             for i, (t, add) in enumerate(jobs):
                 advance(t, add, (devices or [None])[i % len(devices or [None])])
-        if rung_budget >= max_epochs or len(alive) == 1:
+        if rung_budget >= max_epochs:
             break
         alive.sort(key=lambda t: t.best, reverse=True)
         alive = alive[: max(len(alive) // reduction_factor, 1)]
+        # a sole survivor still trains to max_epochs (Ray Tune ASHA promotes
+        # the top trial to max_t); breaking here would export an undertrained
+        # best model whenever the bracket narrows to one trial early
         rung_budget *= reduction_factor
 
     best = max(trials, key=lambda t: t.best)

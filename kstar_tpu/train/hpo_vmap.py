@@ -30,7 +30,7 @@ import optax
 
 from ..config import LossConfig, OptimConfig
 from ..losses import classification_loss
-from .loop import _loss_aux, _model_outputs
+from .loop import _loss_aux, _model_outputs, guarded_update
 from .metrics import macro_f1
 from .state import TrainState, create_train_state
 
@@ -102,17 +102,7 @@ def make_rung_step(model, loss_type: str, ldam_s: float = 1.0) -> Callable:
             return loss, new_stats
 
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(st.params)
-        finite = jnp.isfinite(loss)
-        grads = jax.tree.map(lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
-        candidate = st.apply_gradients(grads, new_batch_stats=new_stats)
-        sel = lambda new, old: jax.tree.map(
-            lambda a, b: jnp.where(finite, a, b), new, old)
-        return st.replace(
-            step=jnp.where(finite, candidate.step, st.step),
-            params=sel(candidate.params, st.params),
-            batch_stats=sel(candidate.batch_stats, st.batch_stats),
-            opt_state=sel(candidate.opt_state, st.opt_state),
-        ), loss
+        return guarded_update(st, grads, new_stats, jnp.isfinite(loss)), loss
 
     def step(states, batch, labels, weight, m_list, gammas):
         return jax.vmap(

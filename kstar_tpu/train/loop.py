@@ -81,22 +81,27 @@ def _train_step_core(model, loss_cfg: LossConfig, model_type: str = "single",
             return loss, (logits, new_stats)
 
         (loss, (logits, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-
-        # NaN-loss skip guard: keep old state when loss/grads are non-finite
-        finite = jnp.isfinite(loss)
-        grads = jax.tree.map(lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
-        candidate = state.apply_gradients(grads, new_batch_stats=new_stats)
-        sel = lambda new, old: jax.tree.map(lambda n, o: jnp.where(finite, n, o), new, old)
-        new_state = state.replace(
-            step=jnp.where(finite, candidate.step, state.step),
-            params=sel(candidate.params, state.params),
-            batch_stats=sel(candidate.batch_stats, state.batch_stats),
-            opt_state=sel(candidate.opt_state, state.opt_state),
-        )
+        new_state = guarded_update(state, grads, new_stats, jnp.isfinite(loss))
         preds = jnp.argmax(logits, axis=-1)
         return new_state, loss, preds
 
     return step
+
+
+def guarded_update(state: "TrainState", grads, new_stats, finite) -> "TrainState":
+    """NaN-loss skip guard, shared by every train-step core (this file,
+    train/gb.py, train/hpo_vmap.py): zero the gradients and keep the old
+    params/stats/opt_state/step when the loss is non-finite, so one bad
+    batch cannot poison the run (the reference simply crashes on NaN)."""
+    grads = jax.tree.map(lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
+    candidate = state.apply_gradients(grads, new_batch_stats=new_stats)
+    sel = lambda new, old: jax.tree.map(lambda n, o: jnp.where(finite, n, o), new, old)
+    return state.replace(
+        step=jnp.where(finite, candidate.step, state.step),
+        params=sel(candidate.params, state.params),
+        batch_stats=sel(candidate.batch_stats, state.batch_stats),
+        opt_state=sel(candidate.opt_state, state.opt_state),
+    )
 
 
 def make_train_step(model, loss_cfg: LossConfig, model_type: str = "single",

@@ -107,3 +107,26 @@ class TestProfiles:
         vals = np.random.default_rng(0).uniform(0.5, 3, (5, 27))
         prof = get_profile(vals, n_points=32)
         assert prof.shape == (5, 32)
+
+    def test_profile_tensor_missing_channel_keeps_radii(self):
+        """A missing Thomson channel must drop ITS radius, not shift every
+        later channel onto an earlier radius (regression: a RADIUS prefix
+        slice silently misassigned core radii to edge channels)."""
+        import pandas as pd
+
+        from kstar_tpu.config import Schema
+        from kstar_tpu.data.profiles import profile_tensor
+
+        cols = Schema.TS_TE_CORE_COLS + Schema.TS_TE_EDGE_COLS[1:]
+        radius = np.asarray(Schema.RADIUS, np.float64)
+        # profile = its own radius, so interpolation is near-identity
+        full = pd.DataFrame({c: [r, r] for c, r in zip(cols, radius)})
+        missing = full.drop(columns=[cols[5]])
+
+        p_full = profile_tensor(full, "te", n_points=27)
+        p_miss = profile_tensor(missing, "te", n_points=27)
+        # both reconstruct ~the radius axis; the gap is interpolated, and
+        # channels after it stay at their true radii
+        assert np.allclose(p_full[0], np.linspace(radius[0], radius[-1], 27),
+                           atol=1e-6)
+        assert np.allclose(p_miss[0], p_full[0], atol=0.02)

@@ -45,6 +45,19 @@ class TestASHA:
         # successive halving trains far less than n_trials * max_epochs
         assert calls["total_epochs"] < 8 * 8
 
+    def test_sole_survivor_trains_to_max_epochs(self):
+        """Aggressive halving narrows to one trial early; that survivor must
+        still be promoted to max_epochs (regression: the loop broke at
+        len(alive)==1 and exported a half-trained best model)."""
+        def trainable(config, n_epochs, state):
+            done = state or 0
+            return done + n_epochs, [config["q"]] * n_epochs
+
+        best, trials = run_asha(trainable, {"q": uniform(0.1, 1.0)},
+                                n_trials=4, max_epochs=32, grace_period=4,
+                                reduction_factor=4, seed=1)
+        assert best.epochs_done == 32
+
     def test_resume_carries_state(self):
         seen_states = []
 

@@ -41,6 +41,32 @@ class TestThreadedBatches:
         np.testing.assert_array_equal(got[0][1], y0)
 
 
+class TestAbandonedConsumer:
+    def test_producer_exits_when_generator_closed(self):
+        """Closing the generator mid-epoch (a train step raised) must unblock
+        the producer thread — it used to park forever on q.put with device
+        batches pinned, leaking a thread per failed trial."""
+        import threading
+        import time
+
+        from kstar_tpu.data.loader import threaded_batches
+
+        class SlowDS:
+            def batch(self, idx):
+                return np.asarray(idx, np.float32), np.zeros(len(idx), np.int64)
+
+        before = threading.active_count()
+        # depth=1: the producer fills the queue and blocks on the second put
+        gen = threaded_batches(SlowDS(), [np.arange(4)] * 16, depth=1)
+        next(gen)
+        gen.close()
+        for _ in range(50):                       # producer exits within 5 s
+            if threading.active_count() <= before:
+                break
+            time.sleep(0.1)
+        assert threading.active_count() <= before
+
+
 class TestGroupedBatches:
     def test_stacks_then_singles(self, tiny_dataset):
         from kstar_tpu.data import TSDataset, prepare_0d_dataset
