@@ -162,6 +162,37 @@ def make_tag(model: str, args, loss_cfg, train_cfg) -> str:
                    use_sampling=args.use_sampling)
 
 
+def make_dp_mesh(args):
+    """--dp N -> a (data=N, model=1) mesh over the first N devices, or None."""
+    if not getattr(args, "dp", 0):
+        return None
+    import jax
+
+    from ..config import MeshConfig
+    from ..parallel import make_mesh
+
+    return make_mesh(MeshConfig(data=args.dp, model=1), jax.devices()[: args.dp])
+
+
+def make_raw_puts(mesh):
+    """(put_raw, put_raw_stack) hooks for raw (batch, labels) tuples — shared
+    by the vision/multimodal train CLIs. On a mesh, batches shard their batch
+    axis over 'data'; (K, B, ...) multi-step stacks shard axis 1 (the BATCH
+    axis — sharding the scan/step axis would trigger a per-dispatch
+    reshard + collectives). Off-mesh, plain device puts."""
+    import jax
+    import jax.numpy as jnp
+
+    if mesh is not None:
+        from ..parallel import put_batch, put_stack
+        put_raw = lambda bl: (put_batch(mesh, bl[0]), put_batch(mesh, bl[1]))
+        put_raw_stack = lambda bl: (put_stack(mesh, bl[0]), put_stack(mesh, bl[1]))
+    else:
+        put_raw = lambda bl: (jax.tree.map(jnp.asarray, bl[0]), jnp.asarray(bl[1]))
+        put_raw_stack = put_raw
+    return put_raw, put_raw_stack
+
+
 def setup_dp(args, state):
     """Build the data-parallel mesh when --dp N is set: replicate the train
     state and return (state, mesh, put) where put shards host batches over

@@ -32,8 +32,12 @@ def build_parser() -> argparse.ArgumentParser:
     # mirror the model-hparam args of the train CLIs so configs reconstruct
     p.add_argument("--feature_dims", type=int, default=128)
     p.add_argument("--n_layers", type=int, default=4)
-    p.add_argument("--n_heads", type=int, default=8)
-    p.add_argument("--dim_feedforward", type=int, default=1024)
+    # None = per-kind default resolved in main(): the train CLIs disagree
+    # (train_0d: n_heads 8 / ff 1024; train_vision: n_heads 4 / scale 8;
+    # train_multimodal: n_heads 4 / scale 4 / ff 512) and a reload built
+    # with the wrong one fails on checkpoint parameter shapes
+    p.add_argument("--n_heads", type=int, default=None)
+    p.add_argument("--dim_feedforward", type=int, default=None)
     p.add_argument("--cls_dims", type=int, default=128)
     p.add_argument("--conv_dim", type=int, default=64)
     p.add_argument("--conv_kernel", type=int, default=3)
@@ -47,7 +51,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dim", type=int, default=128)
     p.add_argument("--depth", type=int, default=2)
     p.add_argument("--d_head", type=int, default=64)
-    p.add_argument("--scale_dim", type=int, default=8)
+    p.add_argument("--scale_dim", type=int, default=None)
     p.add_argument("--norm_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"],
                    help="match the training run's ViViT LN/softmax dtype")
@@ -57,6 +61,15 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    # per-kind model-hparam defaults, mirroring the matching train CLI so a
+    # default-trained checkpoint reloads with default eval flags
+    mm = args.kind == "multimodal"
+    if args.n_heads is None:
+        args.n_heads = 8 if args.kind == "0D" else 4
+    if args.scale_dim is None:
+        args.scale_dim = 4 if mm else 8
+    if args.dim_feedforward is None:
+        args.dim_feedforward = 512 if mm else 1024
 
     import jax
     import jax.numpy as jnp
@@ -113,9 +126,8 @@ def main(argv=None):
     # --- multimodal ---------------------------------------------------------
     if args.kind == "multimodal":
         # Reload path for cli/train_multimodal.py checkpoints. Pass the SAME
-        # model-hparam flags used at training time (defaults here mirror the
-        # vision CLI; the multimodal trainer defaults differ for n_heads /
-        # scale_dim / dim_feedforward).
+        # model-hparam flags used at training time (unset flags resolve to
+        # the multimodal trainer's defaults in main()).
         from ..config import DT_MULTI, AugmentConfig
         from ..data import MultiModalDataset, Scaler, random_split_shots
         from ..data.device_pipe import DevicePreprocessor

@@ -62,7 +62,7 @@ def main(argv=None):
     test_shot = None if args.synthetic else args.test_shot_num
     ns = argparse.Namespace(synthetic=args.synthetic, data_root=args.data_root,
                             random_seed=args.random_seed)
-    put = None
+    put = put_train = None
     if kind == "vision":
         disrupt_df, ts_df, store = load_data(ns, need_video=True, dt=DT_0D)
         shots = sorted(store.arrays.keys())
@@ -72,6 +72,16 @@ def main(argv=None):
                                       seq_len=args.seq_len, dist=args.dist)
         train_ds, valid_ds, test_ds = mkv(train_s), mkv(valid_s), mkv(test_s)
         import jax.numpy as jnp
+
+        from ..config import AugmentConfig
+
+        # trials must train under the SAME augmented pipeline the real
+        # training run uses (the reference HPO forwards the augmentation
+        # args to its datasets, hyperparameter_tuning.py:84-92 / :199-207)
+        # or ASHA ranks configs under a distribution-shifted objective
+        put_train = DevicePreprocessor(crop, AugmentConfig(), train=True,
+                                       out_dtype=jnp.float32,
+                                       seed=args.random_seed)
         put = DevicePreprocessor(crop, train=False, out_dtype=jnp.float32)
     else:
         disrupt_df, ts_df, _ = load_data(ns, need_video=False, dt=DT_0D)
@@ -147,7 +157,8 @@ def main(argv=None):
                 # prefetch=False: the threaded producer would device_put
                 # outside this thread's default_device context
                 state, *_ = run_train_epoch(train_step, state, train_ds,
-                                            batch_size, rng, w, m, gb, put=put,
+                                            batch_size, rng, w, m, gb,
+                                            put=put_train if put_train is not None else put,
                                             prefetch=device is None)
                 _, _, f1 = run_eval_epoch(eval_step, state, valid_ds, batch_size,
                                           w, m, gb, put=put)

@@ -81,9 +81,10 @@ def main(argv=None):
     print(f"shot {shot} | video alarm at {t_alarm} s | warning margin "
           f"{t_warn if t_warn is None else round(t_warn, 4)} s")
 
-    # --- 0D model sweep ------------------------------------------------------
-    d = ts_df[ts_df.shot == shot]
-    if len(d) > args.seq_len + args.dist + 1:
+    # --- 0D model sweep (skipped on video-only datasets: load_data returns
+    # ts_df=None when no 0D csv exists) -----------------------------------
+    d = ts_df[ts_df.shot == shot] if ts_df is not None else None
+    if d is not None and len(d) > args.seq_len + args.dist + 1:
         tcfg = TransformerConfig(n_features=len(cols), feature_dims=args.feature_dims,
                                  max_len=args.seq_len)
         tmodel = build_0d_model("Transformer", tcfg, dtype=dtype)
@@ -109,9 +110,16 @@ def main(argv=None):
 
     # --- figures + GIF -------------------------------------------------------
     os.makedirs(args.save_dir, exist_ok=True)
-    plot_shot_probability(d, t_vid, p_vid, shot, float(row.tftsrt),
-                          float(row.tTQend), float(row.tipminf),
-                          save_path=os.path.join(args.save_dir, f"prob_video_{shot}.png"))
+    if d is not None and len(d):
+        plot_shot_probability(d, t_vid, p_vid, shot, float(row.tftsrt),
+                              float(row.tTQend), float(row.tipminf),
+                              save_path=os.path.join(args.save_dir, f"prob_video_{shot}.png"))
+    else:
+        from ..viz import plot_shot_probability_zoom
+        plot_shot_probability_zoom(
+            t_vid, p_vid, shot, float(row.tftsrt), float(row.tTQend),
+            float(row.tipminf), args.dist / 210.0,
+            save_path=os.path.join(args.save_dir, f"prob_video_{shot}.png"))
     if args.gif:
         gif = render_realtime_gif(
             frames, t_vid, p_vid, shot, float(row.tipminf),

@@ -118,19 +118,9 @@ def main(argv=None):
     # preprocessing dead-code-eliminated from their graphs.
     from ..data.augment import make_pre_fns
     pre_train, pre_eval_fn = make_pre_fns(crop, AugmentConfig(), out_dtype=dtype)
-    mesh = None
-    if args.dp:
-        from ..config import MeshConfig
-        from ..parallel import make_mesh
-        mesh = make_mesh(MeshConfig(data=args.dp, model=1), jax.devices()[: args.dp])
-    if mesh is not None:
-        from ..parallel import put_batch, put_stack
-        put_raw = lambda bl: (put_batch(mesh, bl[0]), put_batch(mesh, bl[1]))
-        # (K, B, ...) stacks shard the batch axis (axis 1), not the step axis
-        put_raw_stack = lambda bl: (put_stack(mesh, bl[0]), put_stack(mesh, bl[1]))
-    else:
-        put_raw = lambda bl: (jax.tree.map(jnp.asarray, bl[0]), jnp.asarray(bl[1]))
-        put_raw_stack = put_raw
+    from .common import make_dp_mesh, make_raw_puts
+    mesh = make_dp_mesh(args)
+    put_raw, put_raw_stack = make_raw_puts(mesh)
 
     b0, _ = put_eval(train_ds.batch(np.arange(min(args.batch_size, len(train_ds)))))
     steps = max(len(train_ds) // args.batch_size, 1)
@@ -252,7 +242,7 @@ def main(argv=None):
         try:
             from ..viz import visualize_latent_space_multi
             visualize_latent_space_multi(
-                model, state, test_ds, method="pca",
+                model, state, test_ds, method="pca", put=put_eval,
                 save_path=os.path.join(args.save_dir, f"{tag}_latent_multi.png"))
         except Exception as e:
             print(f"latent viz skipped: {e}")

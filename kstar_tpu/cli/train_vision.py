@@ -68,9 +68,14 @@ def model_config(args):
     from ..config import R2Plus1DConfig, SlowFastConfig, ViViTConfig
 
     seq_len = args.seq_len
-    if args.model == "SlowFast" and seq_len % args.tau_alpha != 0:
-        # even-seq fixup (reference train_vision_network.py:153-155)
-        seq_len = seq_len - seq_len % args.tau_alpha
+    if args.model == "SlowFast":
+        # even-seq fixup (reference train_vision_network.py:153-155), rounded
+        # to a multiple of alpha*tau_fast: the slow path subsamples every
+        # alpha*tau_fast-th frame and its lateral concat needs matching time
+        # dims, so rounding by alpha alone breaks any --tau_fast > 1
+        step = args.tau_alpha * args.tau_fast
+        if seq_len % step != 0:
+            seq_len = max(seq_len - seq_len % step, step)
     if args.model == "ViViT":
         return ViViTConfig(
             image_size=args.image_size, patch_size=args.patch_size,
@@ -129,27 +134,15 @@ def main(argv=None):
         horizontal_p=args.horizontal_p)
 
     crop = min(args.image_size, store.arrays[shots[0]].shape[1])
-    mesh = None
-    if args.dp:
-        import jax as _jax
-        from ..config import MeshConfig
-        from ..parallel import make_mesh
-        mesh = make_mesh(MeshConfig(data=args.dp, model=1), _jax.devices()[: args.dp])
+    from .common import make_dp_mesh, make_raw_puts
+    mesh = make_dp_mesh(args)
 
     # preprocessing (crop/augment/normalize) fuses INTO the train/eval step
     # (one dispatch per step); the put hook only ships raw uint8 bytes
     from ..data.augment import make_pre_fns
     pre_train, pre_eval_fn = make_pre_fns(crop, aug, out_dtype=dtype)
 
-    if mesh is not None:
-        from ..parallel import put_batch, put_stack
-        put_raw = lambda bl: (put_batch(mesh, bl[0]), put_batch(mesh, bl[1]))
-        # (K, B, ...) multi-step stacks shard the BATCH axis (axis 1), not
-        # the scan's step axis
-        put_raw_stack = lambda bl: (put_stack(mesh, bl[0]), put_stack(mesh, bl[1]))
-    else:
-        put_raw = lambda bl: (jnp.asarray(bl[0]), jnp.asarray(bl[1]))
-        put_raw_stack = put_raw
+    put_raw, put_raw_stack = make_raw_puts(mesh)
 
     # device-side preprocessor retained for state init / standalone eval
     put_eval = DevicePreprocessor(crop, aug, train=False, out_dtype=dtype, mesh=mesh)

@@ -168,14 +168,26 @@ def estimate_gb_weights(train_losses: Dict[str, list], valid_losses: Dict[str, l
     """Offline G-Blend weight estimate from per-stream loss trajectories
     (reference GB_estimate, src/GradientBlending.py:52-114):
     ``w = G / (Of - Oi)^2`` with O = valid - train overfitting measures,
-    normalized across streams."""
-    ws = {}
+    normalized across streams.
+
+    Deviation from the reference on MIXED-sign trajectories only: when every
+    stream's raw ratio shares one sign (all improving or all worsening over
+    the probe — the normal case) the normalization below reproduces the
+    reference's positive weights exactly. With mixed signs the reference's
+    ``w / sum(w)`` hands the minority-sign streams NEGATIVE blending weights
+    — the combined objective then actively maximizes those streams' losses
+    until the next re-estimate. Here the minority-sign streams drop to 0
+    instead and the dominant side normalizes to 1."""
+    raw = {}
     for key in train_losses:
         tr, va = train_losses[key], valid_losses[key]
         Oi = va[0] - tr[0]
         Of = va[-1] - tr[-1]
         G = va[-1] - va[0]
-        ws[key] = G / max((Of - Oi) ** 2, 1e-12)
+        raw[key] = G / max((Of - Oi) ** 2, 1e-12)
+    pos = {k: max(v, 0.0) for k, v in raw.items()}
+    neg = {k: max(-v, 0.0) for k, v in raw.items()}
+    ws = neg if sum(neg.values()) >= sum(pos.values()) else pos
     total = sum(ws.values())
     if total == 0:
         return {k: 1.0 / len(ws) for k in ws}

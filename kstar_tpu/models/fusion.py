@@ -158,7 +158,6 @@ class TFN(nn.Module):
     def setup(self):
         vk = dict(self.vivit_kwargs); vk["dim"] = min(vk.get("dim", 128), 128)
         tk = dict(self.ts_kwargs); tk["feature_dims"] = min(tk.get("feature_dims", 128), 128)
-        assert vk["dim"] == tk["feature_dims"], "encoders must share latent dims"
         self.encoder_video = ViViTEncoder(dtype=self.dtype, **_encoder_kwargs(vk))
         self.encoder_0d = TransformerEncoder0D(dtype=self.dtype, **_encoder_kwargs(tk))
         d = vk["dim"] + tk["feature_dims"]
@@ -208,7 +207,6 @@ class TFNGB(nn.Module):
     def setup(self):
         vk = dict(self.vivit_kwargs); vk["dim"] = min(vk.get("dim", 128), 128)
         tk = dict(self.ts_kwargs); tk["feature_dims"] = min(tk.get("feature_dims", 128), 128)
-        assert vk["dim"] == tk["feature_dims"], "encoders must share latent dims"
         self.vis_model = ViViT(n_classes=self.n_classes, dtype=self.dtype, **vk)
         self.ts_model = Transformer0D(n_classes=self.n_classes, dtype=self.dtype, **tk)
         fusion_dim = (vk["dim"] + 1) * (tk["feature_dims"] + 1)

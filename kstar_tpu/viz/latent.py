@@ -13,9 +13,17 @@ import numpy as np
 
 
 def collect_latents(model, state, dataset, batch_size: int = 128,
-                    multimodal: bool = False) -> Tuple[np.ndarray, np.ndarray, Optional[Dict]]:
+                    multimodal: bool = False,
+                    put=None) -> Tuple[np.ndarray, np.ndarray, Optional[Dict]]:
     """Run encode over the dataset. Returns (latents, labels, extras);
-    for multimodal models extras = {'video': ..., '0D': ...}."""
+    for multimodal models extras = {'video': ..., '0D': ...}.
+
+    ``put``: the same (batch, labels) -> (batch, labels) eval preprocessor
+    the training/eval loops use (DevicePreprocessor: crop + mean-subtract +
+    dtype). REQUIRED for raw-uint8 video datasets — encoding unpreprocessed
+    pixels yields out-of-distribution latents (and crashes when the crop is
+    smaller than the native frame size); 0D datasets are already scaled and
+    may omit it."""
     from ..data.loader import eval_batches
 
     variables = {"params": state.params, "batch_stats": state.batch_stats}
@@ -32,12 +40,16 @@ def collect_latents(model, state, dataset, batch_size: int = 128,
     hs, labels, h_vis_all, h_ts_all = [], [], [], []
     for idx, mask in eval_batches(len(dataset), batch_size):
         batch, y = dataset.batch(idx)
+        if put is not None:
+            batch, y = put((batch, y))
         if multimodal:
-            h, h_vis, h_ts = enc(variables, batch["video"].astype(np.float32), batch["0D"])
+            vid = batch["video"] if put is not None else batch["video"].astype(np.float32)
+            h, h_vis, h_ts = enc(variables, vid, batch["0D"])
             h_vis_all.append(np.asarray(h_vis)[mask])
             h_ts_all.append(np.asarray(h_ts)[mask])
         else:
-            x = batch.astype(np.float32) if hasattr(batch, "astype") else batch
+            x = batch if put is not None else (
+                batch.astype(np.float32) if hasattr(batch, "astype") else batch)
             h = enc(variables, x)
         hs.append(np.asarray(h)[mask])
         labels.append(np.asarray(y)[mask])
@@ -73,13 +85,13 @@ def _scatter(ax, z, labels, title, dim):
 
 def visualize_latent_space(model, state, dataset, method: str = "pca",
                            dim: int = 2, batch_size: int = 128,
-                           save_path: Optional[str] = None):
+                           save_path: Optional[str] = None, put=None):
     """2D/3D latent scatter (reference visualize_2D/3D_latent_space :12-57)."""
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    h, labels, _ = collect_latents(model, state, dataset, batch_size)
+    h, labels, _ = collect_latents(model, state, dataset, batch_size, put=put)
     z = project(h, method, dim)
     fig = plt.figure(figsize=(6, 5))
     ax = fig.add_subplot(111, projection="3d" if dim == 3 else None)
@@ -93,7 +105,7 @@ def visualize_latent_space(model, state, dataset, method: str = "pca",
 
 def visualize_latent_space_multi(model, state, dataset, method: str = "pca",
                                  dim: int = 2, batch_size: int = 64,
-                                 save_path: Optional[str] = None):
+                                 save_path: Optional[str] = None, put=None):
     """Fusion/video/0D panel scatter (reference
     visualize_2D_latent_space_multi :59-148)."""
     import matplotlib
@@ -101,7 +113,7 @@ def visualize_latent_space_multi(model, state, dataset, method: str = "pca",
     import matplotlib.pyplot as plt
 
     h, labels, extras = collect_latents(model, state, dataset, batch_size,
-                                        multimodal=True)
+                                        multimodal=True, put=put)
     fig = plt.figure(figsize=(15, 5))
     for i, (name, lat) in enumerate([("fusion", h), ("video", extras["video"]),
                                      ("0D", extras["0D"])]):

@@ -18,6 +18,7 @@ and visualize_attention.py (ViViTAttentionRollout), redesigned functionally:
 
 from __future__ import annotations
 
+import re
 from typing import Optional, Tuple
 
 import jax
@@ -94,7 +95,19 @@ def collect_attention(model, params, video: jnp.ndarray, which: str = "space"):
         p = "/".join(str(getattr(k, "key", k)) for k in path)
         if key in p and "attn" in p:
             out.append((p, np.asarray(val, np.float32)))
-    out.sort(key=lambda kv: kv[0])
+    if not out:
+        raise ValueError(
+            "no sown attention maps found — attention rollout needs the "
+            "einsum attention path (the fused Pallas attention never "
+            "materializes the attention matrix); rebuild the model with "
+            "use_pallas=False for XAI")
+    # numeric layer order: a lexicographic sort puts attn_10 before attn_2,
+    # silently scrambling the (non-commutative) rollout product at depth >= 10
+    def layer_index(p: str) -> tuple:
+        m = re.search(r"attn_(\d+)", p)
+        return (int(m.group(1)) if m else -1, p)
+
+    out.sort(key=lambda kv: layer_index(kv[0]))
     return [v for _, v in out]
 
 

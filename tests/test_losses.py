@@ -103,6 +103,21 @@ class TestGradientBlending:
         ws = L.estimate_gb_weights(tr, va)
         assert np.isclose(sum(ws.values()), 1.0)
         assert set(ws) == {"video", "0D", "multi"}
+        assert all(v >= 0 for v in ws.values())
+
+    def test_estimate_mixed_signs_never_negative(self):
+        """One stream's valid loss rises while the others fall: the
+        reference's w/sum(w) hands the minority-sign stream a NEGATIVE
+        blending weight (the objective then maximizes its loss); the
+        dominant side must normalize to 1 with the minority at 0."""
+        tr = {"video": [1.0, 0.9], "0D": [1.0, 0.8], "multi": [1.0, 0.7]}
+        va = {"video": [1.0, 1.4],                     # worsens (G > 0)
+              "0D": [1.2, 0.9], "multi": [1.2, 0.8]}   # improve (G < 0)
+        ws = L.estimate_gb_weights(tr, va)
+        assert np.isclose(sum(ws.values()), 1.0)
+        assert all(v >= 0 for v in ws.values())
+        assert ws["video"] == 0.0
+        assert ws["multi"] > 0 and ws["0D"] > 0
 
 
 class TestCCA:
