@@ -63,18 +63,37 @@ def measure_torch_baseline(frames: np.ndarray) -> float:
     patch = 16
     n_tok = (CROP // patch) ** 2 + 1
 
+    class MHA(nn.Module):
+        """Matches the flax MHSA exactly (kstar_tpu/models/vivit.py:30-60):
+        inner dim = heads*d_head = 256, qkv 128->768 (no bias), out 256->128.
+        torch's nn.MultiheadAttention(128, 4) would run head dim 32 — half
+        the attention FLOPs — making the baseline an unfairly light model."""
+
+        def __init__(self):
+            super().__init__()
+            self.qkv = nn.Linear(dim, 3 * heads * d_head, bias=False)
+            self.out = nn.Linear(heads * d_head, dim)
+
+        def forward(self, x):  # (B, N, D)
+            B, N, _ = x.shape
+            qkv = (self.qkv(x).reshape(B, N, 3, heads, d_head)
+                   .permute(2, 0, 3, 1, 4))
+            q, k, v = qkv[0], qkv[1], qkv[2]
+            a = torch.softmax(q @ k.transpose(-2, -1) * d_head ** -0.5, dim=-1)
+            o = (a @ v).transpose(1, 2).reshape(B, N, heads * d_head)
+            return self.out(o)
+
     class Block(nn.Module):
         def __init__(self):
             super().__init__()
             self.n1 = nn.LayerNorm(dim)
-            self.attn = nn.MultiheadAttention(dim, heads, batch_first=True)
+            self.attn = MHA()
             self.n2 = nn.LayerNorm(dim)
             self.ff = nn.Sequential(nn.Linear(dim, dim * scale), nn.GELU(),
                                     nn.Linear(dim * scale, dim))
 
         def forward(self, x):
-            h = self.n1(x)
-            x = x + self.attn(h, h, h, need_weights=False)[0]
+            x = x + self.attn(self.n1(x))
             return x + self.ff(self.n2(x))
 
     class TorchViViT(nn.Module):
@@ -102,7 +121,8 @@ def measure_torch_baseline(frames: np.ndarray) -> float:
             return self.head(x)
 
     model = TorchViViT().eval()
-    mean = np.array([90.0, 98.0, 102.0], np.float32)
+    from kstar_tpu.config import PIXEL_MEAN_BGR
+    mean = np.asarray(PIXEL_MEAN_BGR, np.float32)
     y0 = RESIZE // 2 - CROP // 2
 
     n_warm = 4
@@ -118,12 +138,18 @@ def measure_torch_baseline(frames: np.ndarray) -> float:
     return BASELINE_WINDOWS / elapsed
 
 
+BASELINE_VERSION = 2   # v2: torch MHA widened to the flax inner dim (256)
+
+
 def get_baseline(frames: np.ndarray) -> dict:
-    """Load the cached torch-CPU baselines; compute + cache missing keys."""
+    """Load the cached torch-CPU baselines; compute + cache missing keys.
+    A version bump (baseline model changed) discards the whole cache."""
     base = {}
     if os.path.exists(BASELINE_FILE):
         with open(BASELINE_FILE) as f:
             base = json.load(f)
+    if base.get("version") != BASELINE_VERSION:
+        base = {"version": BASELINE_VERSION}
     changed = False
     if "torch_cpu_clips_per_s" not in base:
         base["torch_cpu_clips_per_s"] = measure_torch_baseline(frames)
