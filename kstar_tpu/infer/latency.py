@@ -18,8 +18,9 @@ import numpy as np
 
 def measure_forward(apply_fn, args: tuple, n_samples: int = 16,
                     warmup: int = 2) -> Dict[str, float]:
-    """Timed jitted forwards. Returns mean/std latency (s) and throughput
-    (batches/s). ``apply_fn`` must be jit-compiled; args are device arrays."""
+    """Timed jitted forwards. Returns {mean_s, std_s, p50_s, p99_s}
+    latencies; measure_model adds clips_per_s. ``apply_fn`` must be
+    jit-compiled; args are device arrays."""
     fn = apply_fn
     for _ in range(warmup):
         out = fn(*args)

@@ -95,7 +95,13 @@ class StreamingPredictor:
         if self.modality != "video":
             return jnp.asarray(frames, jnp.float32)
         H, W = frames.shape[1], frames.shape[2]
-        if H > self.crop_size:
+        if H < self.crop_size or W < self.crop_size:
+            raise ValueError(f"frames {H}x{W} smaller than crop_size "
+                             f"{self.crop_size}")
+        # crop BOTH axes like VideoSweeper.load_shot — gating on H alone let
+        # a wide frame (H == crop < W) through uncropped to the fixed-shape
+        # ring buffer
+        if H > self.crop_size or W > self.crop_size:
             y0 = H // 2 - self.crop_size // 2
             x0 = W // 2 - self.crop_size // 2
             frames = frames[:, y0:y0 + self.crop_size, x0:x0 + self.crop_size]

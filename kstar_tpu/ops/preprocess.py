@@ -39,8 +39,10 @@ def gather_normalize_xla(frames_u8, starts, seq_len: int,
 
 def supports_shape(h: int, w: int, c: int = 3) -> bool:
     """Mosaic HBM-slice tiling: minor dim (w*c) must fill 128-lane tiles and
-    h must fill 8-sublane tiles."""
-    return (w * c) % 128 == 0 and h % 8 == 0
+    h must fill 8-sublane tiles. c must be 3 — the kernel's flat-pixel
+    normalization indexes the BGR mean with j % 3 (_window_kernel), so any
+    other channel count would be silently mis-normalized."""
+    return c == 3 and (w * c) % 128 == 0 and h % 8 == 0
 
 
 def _window_kernel(starts_ref, frames_hbm, o_ref, scratch, sem, *, seq_len: int,

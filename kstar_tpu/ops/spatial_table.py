@@ -89,6 +89,13 @@ def extract_spatial_weights(params, n_offsets: int, depth: int = 2,
     pos = enc["pos_embedding"][0]                     # (T_win, N, D) f32
     tok = enc["space_token"][0, 0]                    # (D,)
 
+    if pos.shape[0] < n_offsets:
+        # a short base would make the kernel's per-offset dynamic slice
+        # clamp to the last row — silently wrong table rows, not an error
+        raise ValueError(
+            f"n_offsets={n_offsets} exceeds the checkpoint's positional-"
+            f"embedding rows ({pos.shape[0]}) — sweep seq_len must not "
+            f"exceed the model's n_frames")
     base = pos[:n_offsets].at[:, 0, :].add(tok[None, :]).astype(dtype)
 
     def g(name, sub):

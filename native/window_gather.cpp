@@ -27,6 +27,13 @@ void gather_windows_u8(const uint8_t* frames, int64_t n_frames,
                        int64_t n_windows, int64_t win_len, uint8_t* out,
                        int32_t n_threads) {
   if (n_windows <= 0 || win_len <= 0) return;
+  if (n_frames <= 0) {
+    // nothing to gather from: zero-fill rather than clamping indices to
+    // frame -1 (an out-of-bounds read before the buffer)
+    std::memset(out, 0,
+                static_cast<size_t>(n_windows * win_len * frame_bytes));
+    return;
+  }
   n_threads = std::max<int32_t>(1, n_threads);
   n_threads = static_cast<int32_t>(
       std::min<int64_t>(n_threads, n_windows));
