@@ -9,15 +9,40 @@ REF = "/root/reference"
 
 
 def stub_ref_deps():
-    if "pytorch_model_summary" not in sys.modules:
-        stub = types.ModuleType("pytorch_model_summary")
-        stub.summary = lambda *a, **k: ""
-        sys.modules["pytorch_model_summary"] = stub
+    """Make the reference tree importable: prefer REAL modules when they are
+    installed (cv2 exists in this image), stub the display-only deps the
+    bare image lacks, and put /root/reference on sys.path. One copy shared
+    by every parity/golden test — the per-file variants had drifted."""
+    stubs = {
+        "pytorch_model_summary": {"summary": lambda *a, **k: ""},
+        "cv2": {"imread": None, "flip": None, "GaussianBlur": None,
+                "convertScaleAbs": None, "VideoCapture": None},
+    }
+    for name, attrs in stubs.items():
+        if name not in sys.modules:
+            try:
+                __import__(name)   # prefer the real module
+                continue
+            except ImportError:
+                pass
+            mod = types.ModuleType(name)
+            for k, v in attrs.items():
+                setattr(mod, k, v)
+            sys.modules[name] = mod
     if "glob2" not in sys.modules:
         import glob as _glob
-        stub = types.ModuleType("glob2")
-        stub.glob = _glob.glob
-        sys.modules["glob2"] = stub
+        mod = types.ModuleType("glob2")
+        mod.glob = _glob.glob
+        sys.modules["glob2"] = mod
+    if "torchvision" not in sys.modules:
+        try:
+            __import__("torchvision")
+        except ImportError:
+            tv = types.ModuleType("torchvision")
+            tr = types.ModuleType("torchvision.transforms")
+            tv.transforms = tr
+            sys.modules["torchvision"] = tv
+            sys.modules["torchvision.transforms"] = tr
     if REF not in sys.path:
         sys.path.insert(0, REF)
 

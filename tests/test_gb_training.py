@@ -34,7 +34,6 @@ class _PreppedDS:
 
     def batch(self, idx):
         data, y = self.ds.batch(idx)
-        v = data["video"][:, :, 16:48 if data["video"].shape[2] > 48 else slice(None)]
         # crude center crop to 32 + normalize
         H = data["video"].shape[2]
         y0 = H // 2 - 16
@@ -136,6 +135,9 @@ class TestGBEstimate:
 class TestFitGB:
     def test_two_epochs(self, gb_setup, tmp_path):
         model, state, ds = gb_setup
+        # fit_gb's jitted steps DONATE the state's buffers; copy so the
+        # module-scoped fixture stays usable for later tests
+        state = jax.tree.map(jnp.copy, state)
         cfg = TrainConfig(batch_size=4, num_epoch=2, weight_dir=str(tmp_path),
                           early_stopping=False, verbose=0)
         state, hist, gb_w = fit_gb(model, state, ds, ds, cfg,
@@ -153,12 +155,6 @@ class TestFusedPreprocess:
         from kstar_tpu.data.augment import make_pre_fns, preprocess_pure
 
         model, state, ds = gb_setup
-        # the module fixture's state buffers are DONATED by the fit_gb test
-        # when the whole module runs — rebuild a fresh state here
-        b0, _ = ds.batch(np.arange(4))
-        state = create_train_state(model, None, jax.random.key(0),
-                                   OptimConfig(lr=1e-3),
-                                   apply_args=(b0["video"], b0["0D"]))
         raw, y = ds.ds.batch(np.arange(4))          # uint8 video, float 0D
         _, pre_eval = make_pre_fns(32, AugmentConfig(), out_dtype=jnp.float32)
         w = jnp.ones(2); m = jnp.asarray([0.3, 0.1]); mask = jnp.ones(4)

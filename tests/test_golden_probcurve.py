@@ -8,13 +8,12 @@ semantics under test (reference src/utils/utility.py:979-1066)."""
 
 import os
 import sys
-import types
 
 import numpy as np
 import pandas as pd
 import pytest
 
-REF = "/root/reference"
+from parity_helpers import REF, stub_ref_deps
 
 pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
                                 reason="reference tree not mounted")
@@ -38,35 +37,7 @@ def patched_cv2_imread():
 
 @pytest.fixture(scope="module")
 def ref_utility():
-    stubs = {
-        "pytorch_model_summary": {"summary": lambda *a, **k: ""},
-        "cv2": {"imread": None, "flip": None, "GaussianBlur": None,
-                "convertScaleAbs": None, "VideoCapture": None},
-    }
-    for name, attrs in stubs.items():
-        if name not in sys.modules:
-            try:
-                __import__(name)   # prefer the real module (cv2 exists here)
-                continue
-            except ImportError:
-                pass
-            mod = types.ModuleType(name)
-            for k, v in attrs.items():
-                setattr(mod, k, v)
-            sys.modules[name] = mod
-    if "glob2" not in sys.modules:
-        import glob as _glob
-        mod = types.ModuleType("glob2")
-        mod.glob = _glob.glob
-        sys.modules["glob2"] = mod
-    if "torchvision" not in sys.modules:
-        tv = types.ModuleType("torchvision")
-        tr = types.ModuleType("torchvision.transforms")
-        tv.transforms = tr
-        sys.modules["torchvision"] = tv
-        sys.modules["torchvision.transforms"] = tr
-    if REF not in sys.path:
-        sys.path.insert(0, REF)
+    stub_ref_deps()
     import importlib
 
     return importlib.import_module("src.utils.utility")
@@ -189,6 +160,7 @@ class TestGoldenMultimodalProbCurve:
             captured["time"] = np.asarray(time_x, dtype=np.float64)
             return None
 
+        orig_plot2 = ref_utility.plot_exp_prob_type_2
         ref_utility.plot_exp_prob_type_1 = capture_plot
         ref_utility.plot_exp_prob_type_2 = lambda *a, **k: None
         try:
@@ -200,7 +172,10 @@ class TestGoldenMultimodalProbCurve:
                 vis_seq_len=seq_len, ts_seq_len=seq_len, dist=dist, dt=DT_0D,
                 scaler=None, tau=tau)
         finally:
+            # restore BOTH patches: the reference module is session-cached in
+            # sys.modules, so a leaked no-op would contaminate later tests
             ref_utility.plot_exp_prob_type_1 = orig_plot
+            ref_utility.plot_exp_prob_type_2 = orig_plot2
 
         class ConstFlax(nn.Module):
             @nn.compact

@@ -8,14 +8,12 @@ materialized as empty jpg files for the reference's glob-based path logic.
 """
 
 import os
-import sys
-import types
 
 import numpy as np
 import pandas as pd
 import pytest
 
-REF = "/root/reference"
+from parity_helpers import REF, stub_ref_deps
 
 pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
                                 reason="reference tree not mounted")
@@ -23,27 +21,7 @@ pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
 
 @pytest.fixture(scope="module")
 def ref_dataset_mod():
-    for name, attrs in (("pytorch_model_summary", {"summary": lambda *a, **k: ""}),
-                        ("cv2", {"imread": None, "flip": None,
-                                 "GaussianBlur": None, "convertScaleAbs": None}),
-                        ):
-        if name not in sys.modules:
-            try:
-                __import__(name)   # prefer the real module (cv2 exists here)
-                continue
-            except ImportError:
-                pass
-            mod = types.ModuleType(name)
-            for k, v in attrs.items():
-                setattr(mod, k, v)
-            sys.modules[name] = mod
-    if "glob2" not in sys.modules:
-        import glob as _glob
-        mod = types.ModuleType("glob2")
-        mod.glob = _glob.glob
-        sys.modules["glob2"] = mod
-    if REF not in sys.path:
-        sys.path.insert(0, REF)
+    stub_ref_deps()
     import importlib
 
     return importlib.import_module("src.dataset")

@@ -145,7 +145,15 @@ class TestVmappedRung:
 
         group = make_group_trainable_0d(make_model, train_ds, valid_ds,
                                         seed=SEED)
-        best_v, trials_v = run_asha(serial_trainable, space,
+
+        # poison fallback: every config here is groupable, so the serial
+        # trainable must never run — passing serial_trainable would let a
+        # run_asha regression that ignores group_trainable degenerate this
+        # test into serial-vs-serial (always green)
+        def poison(*a, **k):
+            raise AssertionError("group_trainable was bypassed")
+
+        best_v, trials_v = run_asha(poison, space,
                                     group_trainable=group, **kw)
 
         assert best_v.config == best_s.config
@@ -231,7 +239,13 @@ class TestOrbaxCheckpoint:
         s = create_train_state(m, x, jax.random.key(0), OptimConfig())
         path = str(tmp_path / "ckpt")
         save_checkpoint_orbax(s, path)
-        s2 = load_checkpoint_orbax(s, path)
+        # restore into a DIFFERENT-seed template — restoring into the saved
+        # state itself would pass even if restore returned the template
+        fresh = create_train_state(m, x, jax.random.key(7), OptimConfig())
+        assert any(not np.array_equal(np.asarray(a), np.asarray(b))
+                   for a, b in zip(jax.tree.leaves(fresh.params),
+                                   jax.tree.leaves(s.params)))
+        s2 = load_checkpoint_orbax(fresh, path)
         for a, b in zip(jax.tree.leaves(s.params), jax.tree.leaves(s2.params)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 

@@ -4,13 +4,11 @@ weight_ih/weight_hh; flax OptimizedLSTMCell keeps per-gate kernels with the
 bias on the hidden projection (set to bias_ih + bias_hh)."""
 
 import os
-import sys
-import types
 
 import numpy as np
 import pytest
 
-REF = "/root/reference"
+from parity_helpers import REF, stub_ref_deps, t2j
 
 pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
                                 reason="reference tree not mounted")
@@ -18,21 +16,12 @@ pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
 
 @pytest.fixture(scope="module")
 def ref_modules():
-    if "pytorch_model_summary" not in sys.modules:
-        stub = types.ModuleType("pytorch_model_summary")
-        stub.summary = lambda *a, **k: ""
-        sys.modules["pytorch_model_summary"] = stub
-    if REF not in sys.path:
-        sys.path.insert(0, REF)
+    stub_ref_deps()
     import importlib
 
     ml = importlib.import_module("src.models.MLSTM_FCN")
     cl = importlib.import_module("src.models.CnnLSTM")
     return ml, cl
-
-
-def t2j(t):
-    return np.asarray(t.detach().cpu().numpy())
 
 
 def load_lstm_gates(cell_params, sd, prefix, reverse=False):
@@ -47,18 +36,6 @@ def load_lstm_gates(cell_params, sd, prefix, reverse=False):
         cell_params[f"i{g}"]["kernel"] = w_ih[k * H:(k + 1) * H].T
         cell_params[f"h{g}"]["kernel"] = w_hh[k * H:(k + 1) * H].T
         cell_params[f"h{g}"]["bias"] = b[k * H:(k + 1) * H]
-
-
-def _find_cell(tree):
-    """Locate the OptimizedLSTMCell param subtree under an nn.RNN wrapper."""
-    for k, v in tree.items():
-        if isinstance(v, dict) and any(g in v for g in ("ii", "ig")):
-            return v
-        if isinstance(v, dict):
-            found = _find_cell(v)
-            if found is not None:
-                return found
-    return None
 
 
 class TestMLSTMFCNParity:

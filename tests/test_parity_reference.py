@@ -7,13 +7,11 @@ computes the same function. Skipped when the reference tree isn't mounted.
 """
 
 import os
-import sys
-import types
 
 import numpy as np
 import pytest
 
-REF = "/root/reference"
+from parity_helpers import REF, stub_ref_deps, t2j
 
 pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
                                 reason="reference tree not mounted")
@@ -22,27 +20,12 @@ pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
 @pytest.fixture(scope="module")
 def ref_modules():
     """Import reference model modules with their missing deps stubbed."""
-    # stub modules the bare image lacks (display-only deps)
-    if "pytorch_model_summary" not in sys.modules:
-        stub = types.ModuleType("pytorch_model_summary")
-        stub.summary = lambda *a, **k: ""
-        sys.modules["pytorch_model_summary"] = stub
-    if "glob2" not in sys.modules:
-        import glob as _glob
-        stub = types.ModuleType("glob2")
-        stub.glob = _glob.glob
-        sys.modules["glob2"] = stub
-    if REF not in sys.path:
-        sys.path.insert(0, REF)
+    stub_ref_deps()
     import importlib
 
     tf = importlib.import_module("src.models.transformer")
     vv = importlib.import_module("src.models.ViViT")
     return tf, vv
-
-
-def t2j(t):
-    return np.asarray(t.detach().cpu().numpy())
 
 
 class TestTransformer0DParity:

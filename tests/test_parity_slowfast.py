@@ -1,20 +1,14 @@
 """Numerical parity vs the reference SlowFast with shared weights."""
 
 import os
-import sys
-import types
 
 import numpy as np
 import pytest
 
-REF = "/root/reference"
+from parity_helpers import REF, stub_ref_deps, t2j
 
 pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
                                 reason="reference tree not mounted")
-
-
-def t2j(t):
-    return np.asarray(t.detach().cpu().numpy())
 
 
 def conv3d_w(sd, name):
@@ -23,12 +17,7 @@ def conv3d_w(sd, name):
 
 class TestSlowFastParity:
     def test_logits_match_reference(self):
-        if "pytorch_model_summary" not in sys.modules:
-            stub = types.ModuleType("pytorch_model_summary")
-            stub.summary = lambda *a, **k: ""
-            sys.modules["pytorch_model_summary"] = stub
-        if REF not in sys.path:
-            sys.path.insert(0, REF)
+        stub_ref_deps()
         import importlib
 
         import torch

@@ -54,11 +54,19 @@ class TestFit:
         assert os.path.exists(tmp_path / "test_last.ckpt")
         assert os.path.exists(tmp_path / "test_best.ckpt")
 
-        # checkpoint roundtrip
-        restored = load_checkpoint(state, str(tmp_path / "test_last.ckpt"))
-        a = jax.tree.leaves(restored.params)[0]
-        b = jax.tree.leaves(state.params)[0]
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # checkpoint roundtrip into a DIFFERENT-seed template: restoring into
+        # the state the checkpoint was saved from would pass even if the
+        # restore silently returned the template (tautology)
+        x, _ = train_ds.batch(np.arange(16))
+        fresh = create_train_state(small_model, jnp.asarray(x),
+                                   jax.random.key(99), OptimConfig(lr=1e-3))
+        assert any(not np.array_equal(np.asarray(a), np.asarray(b))
+                   for a, b in zip(jax.tree.leaves(fresh.params),
+                                   jax.tree.leaves(state.params)))
+        restored = load_checkpoint(fresh, str(tmp_path / "test_last.ckpt"))
+        for a, b in zip(jax.tree.leaves(restored.params),
+                        jax.tree.leaves(state.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
         # eval on test split collects probs
         eval_step = make_eval_step(small_model, loss_cfg)
