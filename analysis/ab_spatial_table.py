@@ -57,17 +57,6 @@ def main():
     tokens65 = jnp.pad(tokens, ((0, 0), (1, 0), (0, 0)))   # zero cls slot
     weights = extract_spatial_weights(params, SEQ_LEN)
 
-    # exactness on a small slice
-    small = tokens[:64]
-    ref = jax.jit(lambda t: spatial_table_xla(model, vars_, t, SEQ_LEN))(small)
-    got = jax.jit(lambda t: spatial_table(t, weights, SEQ_LEN, block_f=16))(tokens65[:64])
-    ref32 = np.asarray(ref, np.float32)
-    got32 = np.asarray(got, np.float32)
-    err = np.max(np.abs(ref32 - got32))
-    rel = err / (np.max(np.abs(ref32)) + 1e-9)
-    print(f"exactness: max abs diff {err:.5f}  (rel {rel:.2e})  "
-          f"ref range [{ref32.min():.3f},{ref32.max():.3f}]")
-
     t_xla, v1 = timed(lambda t: spatial_table_xla(model, vars_, t, SEQ_LEN), tokens)
     print(f"XLA scan path   : {t_xla*1e3:8.1f} ms  (sum {v1:.1f})")
 
@@ -75,20 +64,37 @@ def main():
                                 + 2 * 2 * 65 * 64 * 4) * 2
     weights_pad = extract_spatial_weights(params, SEQ_LEN, pad_d_head=128,
                                           n_heads=4, d_head=64)
+    ref_small = np.asarray(jax.jit(
+        lambda t: spatial_table_xla(model, vars_, t, SEQ_LEN))(tokens[:64]),
+        np.float32)
 
     modes = sys.argv[3].split(",") if len(sys.argv) > 3 else ["batched"]
     for mode in modes:
         mode, _, skips = mode.partition("/")
         skip = tuple(skips.split("+")) if skips else ()
         if mode == "padheads":
-            t_pal, v2 = timed(lambda t: spatial_table(
+            run = lambda t, bf: spatial_table(
                 t, weights_pad, SEQ_LEN, d_head=128, scale=64 ** -0.5,
-                block_f=block_f, attn_mode="batched", debug_skip=skip),
-                tokens65)
+                block_f=bf, attn_mode="batched", debug_skip=skip)
         else:
-            t_pal, v2 = timed(lambda t: spatial_table(
-                t, weights, SEQ_LEN, block_f=block_f, attn_mode=mode,
-                debug_skip=skip), tokens65)
+            run = lambda t, bf: spatial_table(
+                t, weights, SEQ_LEN, block_f=bf, attn_mode=mode,
+                debug_skip=skip)
+
+        # exactness of the EXACT configuration being timed (same mode/
+        # weights; block_f capped to the 64-frame slice) — a gate that only
+        # checked block_f=16/batched/unpadded would let a mode- or
+        # padding-specific kernel bug record a wrong-output speedup
+        if not skip:
+            got32 = np.asarray(jax.jit(
+                lambda t: run(t, min(block_f, 64)))(tokens65[:64]), np.float32)
+            err = np.max(np.abs(ref_small - got32))
+            rel = err / (np.max(np.abs(ref_small)) + 1e-9)
+            print(f"exactness[{mode}] block_f={min(block_f, 64)}: "
+                  f"max abs diff {err:.5f}  (rel {rel:.2e})  "
+                  f"ref range [{ref_small.min():.3f},{ref_small.max():.3f}]")
+
+        t_pal, v2 = timed(lambda t: run(t, block_f), tokens65)
         print(f"pallas[{mode:13s}{'/'+skips if skips else '':9s}] : {t_pal*1e3:8.1f} ms  (sum {v2:.1f})  "
               f"block_f={block_f}  {t_xla/t_pal:.2f}x  "
               f"{flops/t_pal/1e12:.1f} TF/s ({flops/t_pal/197e12*100:.0f}% peak)")

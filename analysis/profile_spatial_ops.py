@@ -87,8 +87,6 @@ def main():
         jax.random.normal(key, (T, N, MLP), jnp.bfloat16), w_ff2),
         2 * T * N * MLP * D)
 
-    per_block = sum(r[1] for r in rows[1:])  # qkv..ff2, counting attn once
-    per_block -= rows[3][1] * 0  # keep both attn rows informational
     print("-" * 60)
     # one block ~= qkv + attn_full + out + ff1 + ff2 + 2 LN
     blk = rows[1][1] + rows[3][1] + rows[4][1] + rows[5][1] + rows[6][1] + 2 * rows[0][1]

@@ -32,12 +32,21 @@ BATCH = 128
 
 
 def timeit(fn, n=5, warmup=1):
+    # barrier = host fetch of one element: through the axon relay,
+    # block_until_ready can return early (see ab_spatial_table.py /
+    # profile_spatial_ops.py), so fetching device bytes is the only true
+    # completion barrier
+    def barrier():
+        out = fn()
+        leaf = jax.tree.leaves(out)[0]
+        np.asarray(jax.device_get(leaf.ravel()[0]))
+
     for _ in range(warmup):
-        jax.block_until_ready(fn())
+        barrier()
     ts = []
     for _ in range(n):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn())
+        barrier()
         ts.append(time.perf_counter() - t0)
     return float(np.median(ts)), float(np.min(ts))
 
@@ -65,7 +74,8 @@ def main():
     print(f"dispatch round-trip      : {t_disp*1e3:8.1f} ms (min {t_disp_min*1e3:.1f})")
 
     # 2. embed frames only (patch embedding, no spatial transformer)
-    mean = jnp.asarray([90.0, 98.0, 102.0], jnp.bfloat16)
+    from kstar_tpu.config import PIXEL_MEAN_BGR
+    mean = jnp.asarray(PIXEL_MEAN_BGR, jnp.bfloat16)
     vars_ = {"params": params, "batch_stats": batch_stats}
     embed_only = jax.jit(lambda f: model.apply(
         vars_, f.astype(jnp.bfloat16) - mean, method="embed_frames"))

@@ -47,7 +47,8 @@ def main(argv=None):
     # window ending right before the quench
     end = int(row.frame_tipminf)
     clip_u8 = frames[end - L:end, :H, :H, :]
-    clip = (clip_u8.astype(np.float32) - np.array([90.0, 98.0, 102.0]))[None]
+    from kstar_tpu.config import PIXEL_MEAN_BGR
+    clip = (clip_u8.astype(np.float32) - np.asarray(PIXEL_MEAN_BGR))[None]
 
     rngs = {"params": jax.random.key(0), "noise": jax.random.key(1),
             "dropout": jax.random.key(2)}
