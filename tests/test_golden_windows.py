@@ -65,7 +65,11 @@ class TestVideoWindowGolden:
 
 
 class TestTSWindowGolden:
-    @pytest.mark.parametrize("seq_len,dist", [(21, 3), (21, 1), (21, 20), (84, 3)])
+    # seq_len 7 is the smallest REFERENCE-safe size (its seq_len//7 stride
+    # is 0 below that and the reference walk hangs — our floored strides
+    # are covered separately in test_windows.py)
+    @pytest.mark.parametrize("seq_len,dist", [(21, 3), (21, 1), (21, 20),
+                                              (84, 3), (7, 2), (10, 5)])
     def test_indices_and_labels_match(self, tiny_dataset, ref_dataset_mod,
                                       seq_len, dist):
         from kstar_tpu.config import DT_0D, Schema
@@ -96,7 +100,8 @@ class TestTSWindowGolden:
 
 class TestMultimodalWindowGolden:
     @pytest.mark.parametrize("seq_len,dist,tau", [(10, 3, 1), (10, 1, 1),
-                                                  (10, 3, 2), (21, 3, 4)])
+                                                  (10, 3, 2), (21, 3, 4),
+                                                  (8, 6, 3), (12, 2, 4)])
     def test_indices_and_labels_match(self, tmp_path, tiny_dataset,
                                       ref_dataset_mod, seq_len, dist, tau):
         from kstar_tpu.config import DT_0D, Schema
