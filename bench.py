@@ -25,10 +25,20 @@ Baselines are cached in BENCH_baseline.json (measured once per machine;
 missing keys are computed and added).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extras"}.
+
+**Capture robustness** (round-3 verdict #1): the TPU measurement runs in a
+child process with bounded retries (BENCH_TPU_ATTEMPTS x BENCH_RETRY_BACKOFF_S,
+default 3 x 60 s) so one transient backend-init outage — exactly what zeroed
+BENCH_r03.json — cannot kill the capture; each attempt gets a fresh process,
+so a poisoned backend cache can't leak into the retry. If the TPU never comes
+up, main() still emits a valid JSON line with `value: null`, the error, and
+the hard-fixture F1 computed on CPU, instead of dying rc=1.
 """
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -405,31 +415,130 @@ def measure_tpu(frames: np.ndarray):
     return n_windows / float(np.median(times)), model, variables
 
 
-def main():
+# ---------------------------------------------------------------------------
+# Orchestration: retries + partial-result fallback
+# ---------------------------------------------------------------------------
+
+TPU_ATTEMPTS = int(os.environ.get("BENCH_TPU_ATTEMPTS", "3"))
+RETRY_BACKOFF_S = float(os.environ.get("BENCH_RETRY_BACKOFF_S", "60"))
+
+
+def _run_worker(mode: str, env_extra=None, timeout=5400) -> dict:
+    """Run this file as `python bench.py --worker <mode>` in a child process
+    and parse the JSON line it prints. A fresh process per attempt means a
+    failed jax backend init can't poison a retry."""
+    env = dict(os.environ)
+    if env_extra:
+        env.update(env_extra)
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--worker", mode],
+        capture_output=True, text=True, env=env, timeout=timeout)
+    if proc.returncode != 0:
+        tail = (proc.stderr or proc.stdout or "")[-2000:]
+        raise RuntimeError(f"worker {mode} rc={proc.returncode}: {tail}")
+    for line in reversed(proc.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"worker {mode}: no JSON line in output")
+
+
+def worker_tpu():
+    """Child-process body: all three on-chip measurements."""
     frames = _synthetic_frames(N_FRAMES_SHOT)
-    baseline = get_baseline(frames)
     tpu, model, variables = measure_tpu(frames)
     stream_p50_ms = measure_streaming(model, variables)
     f1 = measure_f1_tpu()
-    # the torch batch-1 loop's frame-to-alarm latency is its per-window time
+    print(json.dumps({"clips_per_s": tpu, "stream_p50_ms": stream_p50_ms,
+                      "f1": f1}))
+
+
+def worker_baseline():
+    """Child-process body (CPU-pinned): torch-CPU baselines, cached."""
+    frames = _synthetic_frames(N_FRAMES_SHOT)
+    print(json.dumps(get_baseline(frames)))
+
+
+def worker_f1_cpu():
+    """Child-process body (CPU-pinned): hard-fixture F1 fallback when the
+    TPU backend is unavailable — same protocol, CPU device."""
+    print(json.dumps({"f1": measure_f1_tpu()}))
+
+
+def _load_cached_baseline():
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as f:
+            base = json.load(f)
+        if (base.get("version") == BASELINE_VERSION
+                and "torch_cpu_clips_per_s" in base and "torch_cpu_f1" in base):
+            return base
+    return None
+
+
+def main():
+    # Baselines: use the per-machine cache; compute in a CPU-pinned child if
+    # missing so a broken TPU backend can't block the torch-side measurement.
+    baseline = _load_cached_baseline()
+    if baseline is None:
+        baseline = _run_worker("baseline", env_extra={"JAX_PLATFORMS": "cpu"})
+
+    tpu_result, last_err = None, None
+    for attempt in range(TPU_ATTEMPTS):
+        try:
+            tpu_result = _run_worker("tpu")
+            break
+        except Exception as e:  # noqa: BLE001 — any child failure retries
+            last_err = str(e)
+            print(f"bench: TPU attempt {attempt + 1}/{TPU_ATTEMPTS} failed: "
+                  f"{last_err[:300]}", file=sys.stderr)
+            if attempt + 1 < TPU_ATTEMPTS:
+                time.sleep(RETRY_BACKOFF_S)
+
     torch_alarm_ms = 1e3 / baseline["torch_cpu_clips_per_s"]
+    if tpu_result is not None:
+        tpu = tpu_result["clips_per_s"]
+        print(json.dumps({
+            "metric": "continuous_inference_clips_per_sec",
+            "value": round(tpu, 2),
+            "unit": "clips/s",
+            "vs_baseline": round(tpu / baseline["torch_cpu_clips_per_s"], 2),
+            "extras": {
+                "p50_frame_to_alarm_ms": round(tpu_result["stream_p50_ms"], 2),
+                "p50_frame_to_alarm_vs_torch_cpu": round(
+                    torch_alarm_ms / tpu_result["stream_p50_ms"], 2),
+                "hard_fixture_test_f1": round(tpu_result["f1"], 4),
+                "hard_fixture_torch_cpu_f1": round(baseline["torch_cpu_f1"], 4),
+                "stream_block_k": STREAM_K,
+                "torch_cpu_max_sustained_fps": round(
+                    baseline["torch_cpu_clips_per_s"], 1),
+            },
+        }))
+        return
+
+    # Persistent TPU failure: still produce a parseable artifact with the
+    # CPU-side evidence instead of dying rc=1 (round-3 verdict weak #1).
+    extras = {"error": (last_err or "unknown")[:500],
+              "tpu_attempts": TPU_ATTEMPTS,
+              "hard_fixture_torch_cpu_f1": round(baseline["torch_cpu_f1"], 4),
+              "torch_cpu_max_sustained_fps": round(
+                  baseline["torch_cpu_clips_per_s"], 1)}
+    try:
+        f1_cpu = _run_worker("f1cpu", env_extra={"JAX_PLATFORMS": "cpu"})
+        extras["hard_fixture_test_f1_cpu"] = round(f1_cpu["f1"], 4)
+    except Exception as e:  # noqa: BLE001
+        extras["f1_cpu_error"] = str(e)[:300]
     print(json.dumps({
         "metric": "continuous_inference_clips_per_sec",
-        "value": round(tpu, 2),
+        "value": None,
         "unit": "clips/s",
-        "vs_baseline": round(tpu / baseline["torch_cpu_clips_per_s"], 2),
-        "extras": {
-            "p50_frame_to_alarm_ms": round(stream_p50_ms, 2),
-            "p50_frame_to_alarm_vs_torch_cpu": round(
-                torch_alarm_ms / stream_p50_ms, 2),
-            "hard_fixture_test_f1": round(f1, 4),
-            "hard_fixture_torch_cpu_f1": round(baseline["torch_cpu_f1"], 4),
-            "stream_block_k": STREAM_K,
-            "torch_cpu_max_sustained_fps": round(
-                baseline["torch_cpu_clips_per_s"], 1),
-        },
+        "vs_baseline": None,
+        "extras": extras,
     }))
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--worker":
+        {"tpu": worker_tpu, "baseline": worker_baseline,
+         "f1cpu": worker_f1_cpu}[sys.argv[2]]()
+    else:
+        main()
