@@ -87,7 +87,12 @@ class _ShotTable:
 
 
 class TSDataset:
-    """0D sliding-window dataset (reference DatasetFor0D, src/dataset.py:276-431)."""
+    """0D sliding-window dataset (reference DatasetFor0D, src/dataset.py:276-431).
+
+    Non-disruptive shots (NaN tipminf in the shot log) yield zero windows —
+    the variable-stride walk's NaN zone comparisons never match — mirroring
+    the reference, which trains on disruptive shots only; normal shots exist
+    for the alarm metrics' negative population (eval/alarms.py)."""
 
     def __init__(
         self,
@@ -180,7 +185,12 @@ class VideoStore:
 class VideoDataset:
     """Video sliding-window dataset (reference DatasetForVideo,
     src/dataset.py:32-273). Returns raw uint8 frame stacks; crop/augment/
-    normalize happen batched on device."""
+    normalize happen batched on device.
+
+    Non-disruptive shots (frame_tipminf = -1) yield zero windows — the
+    backward stride range from the (nonexistent) quench is empty — matching
+    the reference's disruptive-only training; normal shots feed the alarm
+    metrics' negative population instead (eval/alarms.py)."""
 
     def __init__(
         self,

@@ -25,12 +25,13 @@ class SyntheticShot:
     frames: np.ndarray          # (T, H, W, 3) uint8, BGR to match reference cv2 convention
     ts: pd.DataFrame            # interpolated 0D table with 'time' + feature columns
     tftsrt: float               # plasma startup time (s)
-    tTQend: float               # thermal quench end time (s)
-    tipminf: float              # current quench (Ip min) time (s)
+    tTQend: float               # thermal quench end time (s); NaN if not disruptive
+    tipminf: float              # current quench (Ip min) time (s); NaN if not disruptive
     frame_startup: int
     frame_cutoff: int
-    frame_tTQend: int
-    frame_tipminf: int
+    frame_tTQend: int           # -1 if not disruptive
+    frame_tipminf: int          # -1 if not disruptive
+    is_disrupt: bool = True
 
 
 def _brightness_profile(n_frames: int, frame_startup: int, frame_cutoff: int,
@@ -56,6 +57,23 @@ def _precursor_envelope(n_frames: int, onset: int, frame_cutoff: int) -> np.ndar
     return env
 
 
+def _brightness_profile_normal(n_frames: int, frame_startup: int,
+                               frame_end: int,
+                               rng: np.random.Generator) -> np.ndarray:
+    """Non-disruptive mean-brightness curve: dark -> plasma glow -> controlled
+    ramp-down -> dark. Same startup/flat-top statistics as the disruptive
+    profile but NO quench flash — the ramp-down dims gradually."""
+    b = np.full(n_frames, 8.0)
+    ramp = min(frame_startup + 10, n_frames)
+    b[frame_startup:ramp] = np.linspace(10, 80, ramp - frame_startup)
+    rd = max(frame_end - 24, ramp)
+    b[ramp:rd] = 80 + 10 * np.sin(np.linspace(0, 6, max(rd - ramp, 1)))
+    b[rd:frame_end] = np.linspace(b[rd - 1] if rd > 0 else 80.0, 10.0,
+                                  frame_end - rd)
+    b[frame_end:] = 6.0
+    return b + rng.normal(0, 2, n_frames)
+
+
 def make_shot(
     shot: int = 30000,
     n_frames: int = 256,
@@ -65,6 +83,7 @@ def make_shot(
     features: Optional[List[str]] = None,
     seed: int = 0,
     difficulty: float = 0.0,
+    disrupt: bool = True,
 ) -> SyntheticShot:
     """Generate one synthetic shot.
 
@@ -87,25 +106,40 @@ def make_shot(
 
     frame_startup = int(0.1 * n_frames)
     frame_cutoff = int(0.92 * n_frames)
-    frame_tipminf = frame_cutoff - 1
-    frame_tTQend = max(frame_tipminf - 8, frame_startup + 1)
+    if disrupt:
+        frame_tipminf = frame_cutoff - 1
+        frame_tTQend = max(frame_tipminf - 8, frame_startup + 1)
+        tipminf = frame_tipminf / FPS
+        tTQend = frame_tTQend / FPS
+    else:
+        # non-disruptive shot: controlled ramp-down, no quench — the alarm
+        # metrics' negative population (round-3 verdict #4: detection_rate
+        # over an all-positive library cannot show false alarms)
+        frame_tipminf = frame_tTQend = -1
+        tipminf = tTQend = float("nan")
 
     tftsrt = frame_startup / FPS
-    tipminf = frame_tipminf / FPS
-    tTQend = frame_tTQend / FPS
 
     # --- video frames: radial glow scaled by the brightness profile ---------
-    b = _brightness_profile(n_frames, frame_startup, frame_cutoff, rng)
+    if disrupt:
+        b = _brightness_profile(n_frames, frame_startup, frame_cutoff, rng)
+    else:
+        b = _brightness_profile_normal(n_frames, frame_startup, frame_cutoff,
+                                       rng)
 
     lead = 0
     env = np.zeros(n_frames)
-    if difficulty > 0:
+    onset = frame_cutoff
+    if difficulty > 0 and disrupt:
         # precursor lead window (s): how early the disruption becomes visible
         lead_s = rng.uniform(0.5, 2.5)
         lead = min(int(lead_s * FPS), frame_cutoff - frame_startup - 8)
         onset = max(frame_cutoff - lead, frame_startup + 8)
         env = _precursor_envelope(n_frames, onset, frame_cutoff)
-        # distractor flashes during flat-top (tempt premature alarms)
+    if difficulty > 0:
+        # distractor flashes during flat-top (tempt premature/false alarms);
+        # normal shots get the SAME distractors — they are the false-alarm
+        # bait the negative population exists to measure
         n_flash = rng.poisson(1.0 + difficulty)
         for _ in range(n_flash):
             lo = frame_startup + 12
@@ -127,7 +161,7 @@ def make_shot(
         b[:, None, None, None] * glow[None, :, :, None]
         + rng.normal(0, 3 + 4 * difficulty, (n_frames, height, width, 3))
     )
-    if difficulty > 0:
+    if difficulty > 0 and disrupt:
         # rotating m=2 mode: cos(2 theta + omega t), contrast grows with the
         # precursor envelope — a spatio-temporal signature, not a brightness
         # step, so the model must actually read structure
@@ -140,17 +174,21 @@ def make_shot(
     frames = np.clip(frames, 0, 255).astype(np.uint8)
 
     # --- 0D table ------------------------------------------------------------
-    t = np.arange(tftsrt - 4 * dt, tipminf + 8 * dt, dt)
+    t_end = tipminf if disrupt else frame_cutoff / FPS
+    t = np.arange(tftsrt - 4 * dt, t_end + 8 * dt, dt)
     n = len(t)
-    phase = np.clip((t - tftsrt) / max(tipminf - tftsrt, 1e-6), 0, 1)
-    # precursor growth toward the quench
-    precursor = np.exp(6 * (phase - 1.0))
-    if difficulty > 0 and lead > 0:
-        # align the 0D precursor with the video's onset window instead of the
-        # whole-shot exponential
-        t_onset = tipminf - lead / FPS
-        p = np.clip((t - t_onset) / max(tipminf - t_onset, 1e-6), 0, 1)
-        precursor = p ** 2
+    phase = np.clip((t - tftsrt) / max(t_end - tftsrt, 1e-6), 0, 1)
+    if disrupt:
+        # precursor growth toward the quench
+        precursor = np.exp(6 * (phase - 1.0))
+        if difficulty > 0 and lead > 0:
+            # align the 0D precursor with the video's onset window instead of
+            # the whole-shot exponential
+            t_onset = tipminf - lead / FPS
+            p = np.clip((t - t_onset) / max(tipminf - t_onset, 1e-6), 0, 1)
+            precursor = p ** 2
+    else:
+        precursor = np.zeros(n)
 
     data: Dict[str, np.ndarray] = {"time": t}
     noise_0d = 0.02 + 0.15 * difficulty
@@ -182,6 +220,7 @@ def make_shot(
         tftsrt=tftsrt, tTQend=tTQend, tipminf=tipminf,
         frame_startup=frame_startup, frame_cutoff=frame_cutoff,
         frame_tTQend=frame_tTQend, frame_tipminf=frame_tipminf,
+        is_disrupt=disrupt,
     )
 
 
@@ -195,17 +234,28 @@ def make_dataset(
     features: Optional[List[str]] = None,
     seed: int = 0,
     difficulty: float = 0.0,
+    n_normal: int = 0,
 ):
     """Generate a small multi-shot dataset.
 
     Returns (shots, disrupt_df, ts_df): the shot-list dataframe carries the
     same columns as the reference's extended shot log
-    (reference src/generate_modified_shot_log.py:266-281)."""
+    (reference src/generate_modified_shot_log.py:266-281) plus an
+    ``is_disrupt`` flag. ``n_normal`` appends that many NON-disruptive shots
+    (controlled ramp-down, no quench/precursor; NaN quench times) after the
+    disruptive ones — the negative population for false-alarm measurement."""
     shots = [
         make_shot(first_shot + i, n_frames=n_frames + 16 * (i % 3),
                   height=height, width=width, dt=dt, features=features, seed=seed,
                   difficulty=difficulty)
         for i in range(n_shots)
+    ]
+    shots += [
+        make_shot(first_shot + n_shots + i,
+                  n_frames=n_frames + 16 * ((n_shots + i) % 3),
+                  height=height, width=width, dt=dt, features=features,
+                  seed=seed, difficulty=difficulty, disrupt=False)
+        for i in range(n_normal)
     ]
     disrupt_df = pd.DataFrame(
         {
@@ -218,6 +268,7 @@ def make_dataset(
             "frame_cutoff": [s.frame_cutoff for s in shots],
             "frame_tTQend": [s.frame_tTQend for s in shots],
             "frame_tipminf": [s.frame_tipminf for s in shots],
+            "is_disrupt": [s.is_disrupt for s in shots],
         }
     )
     ts_df = pd.concat([s.ts for s in shots], ignore_index=True)

@@ -14,6 +14,18 @@ batched engine (infer/continuous.py) and aggregates:
                    not detected, and is excluded from the warning stats)
   * warning time — tipminf - t_alarm (the reference's warning-time notion,
                    utility.py:843-853), with p50/p90 across detected shots
+  * false alarm  — on a NON-disruptive shot (is_disrupt False / NaN
+                   tipminf), ANY threshold crossing; summary reports the
+                   per-shot false-alarm rate (FPR) and the mean fraction of
+                   credible-window time spent above threshold
+
+**Latching semantics.** The headline ``detected`` figure latches on the
+FIRST threshold crossing of the shot: if that crossing is premature, the
+shot counts as missed even if a credible alarm also fires later inside
+[tftsrt + t_min, tipminf]. This models an operational alarm that trips
+(and would trigger mitigation) at its first firing. The non-latched
+alternative — scan for the first crossing at or after tftsrt + t_min — is
+reported alongside as ``detected_recoverable`` / ``detection_rate_recoverable``.
 
 Every entry point sweeps the whole shot library in ONE device dispatch
 (VideoSweeper.sweep_shots) and scores alarms on the host.
@@ -86,38 +98,77 @@ def sweep_prob_curves(
 
 
 def score_alarms(curves, threshold: float = 0.5, t_min: float = 1.0) -> Dict:
-    """Score pre-swept probability curves at one threshold."""
+    """Score pre-swept probability curves at one threshold.
+
+    Disruptive shots contribute to detection/warning statistics (first-alarm
+    LATCHING — see module docstring — with ``detected_recoverable`` as the
+    non-latched companion). Non-disruptive shots (``is_disrupt`` False or
+    NaN tipminf in the shot-log row) contribute to the false-alarm
+    statistics: any crossing at all is a false alarm, and
+    ``alarm_time_frac`` is the fraction of credible-window samples above
+    threshold."""
     rows: List[Dict] = []
     for shot, r, time_x, probs in curves:
-        t_alarm = alarm_times(time_x, probs, threshold, t_min)
         t_cq = float(r.tipminf)
         tftsrt = float(r.tftsrt)
-        w = warning_time(t_alarm, t_cq)
-        premature = t_alarm is not None and t_alarm < tftsrt + t_min
-        # detected per the module contract: a credible alarm fired inside
-        # [tftsrt + t_min, tipminf] — a premature (pre-flat-top+t_min) alarm
-        # is operationally a false alarm and counts as missed, not detected,
-        # so detection_rate and the warning percentiles stay honest
-        detected = t_alarm is not None and t_alarm <= t_cq and not premature
+        is_disrupt = bool(getattr(r, "is_disrupt", True)) and np.isfinite(t_cq)
+        t_alarm = alarm_times(time_x, probs, threshold, t_min)
+        if is_disrupt:
+            w = warning_time(t_alarm, t_cq)
+            premature = t_alarm is not None and t_alarm < tftsrt + t_min
+            # detected per the module contract: a credible alarm fired inside
+            # [tftsrt + t_min, tipminf] — a premature (pre-flat-top+t_min)
+            # alarm is operationally a false alarm and LATCHES the shot as
+            # missed, so detection_rate and the warning percentiles stay
+            # honest
+            detected = t_alarm is not None and t_alarm <= t_cq and not premature
+            # non-latched companion: first crossing AT OR AFTER tftsrt+t_min
+            t_rec = alarm_times(time_x, probs, threshold,
+                                t_min=tftsrt + t_min)
+            detected_rec = t_rec is not None and t_rec <= t_cq
+            false_alarm = False
+            alarm_frac = np.nan
+        else:
+            detected = detected_rec = premature = False
+            w = None
+            false_alarm = t_alarm is not None
+            credible = time_x >= tftsrt + t_min
+            alarm_frac = (float((probs[credible] > threshold).mean())
+                          if credible.any() else 0.0)
         rows.append({
             "shot": int(shot),
+            "is_disrupt": is_disrupt,
             "t_alarm": t_alarm,
             "t_cq": t_cq,
             "warning_s": w if detected else np.nan,
             "detected": detected,
-            "missed": not detected,
+            "detected_recoverable": detected_rec,
+            "missed": is_disrupt and not detected,
             "premature": premature,
+            "false_alarm": false_alarm,
+            "alarm_time_frac": alarm_frac,
             "max_prob": float(probs.max()) if len(probs) else 0.0,
         })
 
     per_shot = pd.DataFrame(rows)
-    warns = per_shot.warning_s.dropna().values if len(per_shot) else np.array([])
+    dis = per_shot[per_shot.is_disrupt] if len(per_shot) else per_shot
+    nrm = per_shot[~per_shot.is_disrupt] if len(per_shot) else per_shot
+    warns = dis.warning_s.dropna().values if len(dis) else np.array([])
     summary = {
         "n_shots": len(per_shot),
-        "detected": int(per_shot.detected.sum()) if len(per_shot) else 0,
-        "missed": int(per_shot.missed.sum()) if len(per_shot) else 0,
-        "premature": int(per_shot.premature.sum()) if len(per_shot) else 0,
-        "detection_rate": float(per_shot.detected.mean()) if len(per_shot) else 0.0,
+        "n_disrupt": len(dis),
+        "n_normal": len(nrm),
+        "detected": int(dis.detected.sum()) if len(dis) else 0,
+        "missed": int(dis.missed.sum()) if len(dis) else 0,
+        "premature": int(dis.premature.sum()) if len(dis) else 0,
+        "detection_rate": float(dis.detected.mean()) if len(dis) else 0.0,
+        "detection_rate_recoverable": (
+            float(dis.detected_recoverable.mean()) if len(dis) else 0.0),
+        "false_alarms": int(nrm.false_alarm.sum()) if len(nrm) else 0,
+        "false_alarm_rate": (float(nrm.false_alarm.mean())
+                             if len(nrm) else None),
+        "false_alarm_time_frac": (float(nrm.alarm_time_frac.mean())
+                                  if len(nrm) else None),
         "warning_p50_s": float(np.percentile(warns, 50)) if len(warns) else None,
         "warning_p90_s": float(np.percentile(warns, 90)) if len(warns) else None,
         "warning_mean_s": float(warns.mean()) if len(warns) else None,
@@ -191,12 +242,16 @@ def sweep_multimodal_prob_curves(
             continue
         r = disrupt_df[disrupt_df.shot == shot].iloc[0]
         d = ts_df[ts_df.shot == shot]
+        # non-disruptive shots have no quench time: sweep to the end of the
+        # 0D table instead
+        t_end = (float(r.tipminf) if np.isfinite(float(r.tipminf))
+                 else float(d["time"].max()))
         time_x, probs = predict_multimodal_shot(
             model, params, batch_stats,
             np.asarray(store.arrays[int(shot)]),
             d[cols].to_numpy(np.float32), d["time"].to_numpy(), scaler,
             int(r.frame_startup), int(r.frame_cutoff),
-            float(r.tftsrt), float(r.tipminf),
+            float(r.tftsrt), t_end,
             seq_len=seq_len, dist=dist, dt=dt, tau=tau,
             crop_size=crop_size, batch_size=batch_size,
             compute_dtype=compute_dtype, sweeper=sweeper)
@@ -237,9 +292,13 @@ def threshold_tradeoff_from_curves(
         rows.append({
             "threshold": thr,
             "detection_rate": s["detection_rate"],
+            "detection_rate_recoverable": s["detection_rate_recoverable"],
             "warning_p50_s": s["warning_p50_s"],
             "n_detected": s["detected"],
             "n_premature": s["premature"],
+            "false_alarm_rate": s["false_alarm_rate"],
+            "false_alarm_time_frac": s["false_alarm_time_frac"],
+            "n_false_alarms": s["false_alarms"],
         })
     return pd.DataFrame(rows)
 

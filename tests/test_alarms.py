@@ -147,9 +147,9 @@ class TestMultimodalLadderEdge:
 class TestMultiModalSweeperCache:
     def test_shared_compile_across_shot_lengths(self):
         """Library sweeps share one compiled program per shape bucket: two
-        shots whose frame/row counts land in the same power-of-two bucket
-        must not retrace (the per-call jax.jit this replaces recompiled the
-        whole fused program for every shot)."""
+        shots whose frame/row counts land in the same half-octave bucket
+        (bucket_len) must not retrace (the per-call jax.jit this replaces
+        recompiled the whole fused program for every shot)."""
         from kstar_tpu.infer import MultiModalSweeper
 
         model = BrightnessFusionModel()
@@ -159,7 +159,7 @@ class TestMultiModalSweeperCache:
                                crop_size=16, batch_size=32,
                                compute_dtype=jnp.float32)
         rng = np.random.default_rng(0)
-        for n in (150, 200):                      # both bucket to 256 frames
+        for n in (180, 190):     # same frame bucket (192) and chunk bucket
             frames = rng.integers(0, 255, size=(n, 32, 32, 3), dtype=np.uint8)
             data = rng.standard_normal((n, 4)).astype(np.float32)
             keep = list(range(12, n - 4))
@@ -193,6 +193,140 @@ class TestPrematureMetric:
         assert bool(per[per.shot == 1].detected.iloc[0]) is False
         assert np.isnan(per[per.shot == 1].warning_s.iloc[0])
         assert abs(per[per.shot == 2].warning_s.iloc[0] - 0.99) < 0.05
+
+
+class TestFalseAlarmMetrics:
+    """Round-3 verdict #4: the alarm metrics need a negative population —
+    non-disruptive shots — so detection_rate=1.0 artifacts can discriminate
+    false alarms."""
+
+    def test_score_alarms_counts_false_alarms(self):
+        from kstar_tpu.eval.alarms import score_alarms
+
+        class DisRow:
+            tipminf = 5.0
+            tftsrt = 1.0
+            is_disrupt = True
+
+        class NormRow:
+            tipminf = float("nan")
+            tftsrt = 1.0
+            is_disrupt = False
+
+        time_x = np.arange(0, 6, 0.01)
+        fires = np.where(time_x > 4.0, 0.9, 0.0)
+        quiet = np.zeros_like(time_x)
+        curves = [(1, DisRow(), time_x, fires),
+                  (2, NormRow(), time_x, fires),     # false alarm
+                  (3, NormRow(), time_x, quiet)]     # clean normal shot
+        res = score_alarms(curves, threshold=0.5, t_min=1.0)
+        per, s = res["per_shot"], res["summary"]
+        assert s["n_disrupt"] == 1 and s["n_normal"] == 2
+        assert s["detected"] == 1 and s["detection_rate"] == 1.0
+        assert s["false_alarms"] == 1
+        assert abs(s["false_alarm_rate"] - 0.5) < 1e-9
+        assert s["false_alarm_time_frac"] is not None
+        assert bool(per[per.shot == 2].false_alarm.iloc[0]) is True
+        assert bool(per[per.shot == 3].false_alarm.iloc[0]) is False
+        # normal shots never enter detection/missed counts
+        assert s["detected"] + s["missed"] == s["n_disrupt"]
+
+    def test_recoverable_vs_latched_detection(self):
+        """A shot whose FIRST crossing is premature latches as missed, but
+        the recoverable figure re-scans from tftsrt+t_min (advisor
+        finding: the latching semantics were undocumented)."""
+        from kstar_tpu.eval.alarms import score_alarms
+
+        class Row:
+            tipminf = 5.0
+            tftsrt = 1.0
+            is_disrupt = True
+
+        time_x = np.arange(0, 6, 0.01)
+        # fires at 1.2 s (premature, < tftsrt+t_min=2), drops, re-fires at 4 s
+        probs = np.where((time_x > 1.2) & (time_x < 1.5), 0.9, 0.0)
+        probs = np.where(time_x > 4.0, 0.9, probs)
+        res = score_alarms([(1, Row(), time_x, probs)], threshold=0.5,
+                           t_min=1.0)
+        per, s = res["per_shot"], res["summary"]
+        assert bool(per.detected.iloc[0]) is False          # latched missed
+        assert bool(per.premature.iloc[0]) is True
+        assert bool(per.detected_recoverable.iloc[0]) is True
+        assert s["detection_rate"] == 0.0
+        assert s["detection_rate_recoverable"] == 1.0
+
+    def test_end_to_end_with_normal_shots(self):
+        """Sweep a mixed library: the quench-flash detector fires on
+        disruptive shots and stays quiet on ramp-down shots."""
+        from kstar_tpu.data import synthetic
+
+        shots, disrupt_df, _ = synthetic.make_dataset(
+            n_shots=3, n_normal=3, n_frames=640, height=32, width=32, seed=3)
+        assert disrupt_df.is_disrupt.sum() == 3
+        assert (~disrupt_df.is_disrupt).sum() == 3
+        store = VideoStore.from_arrays({s.shot: s.frames for s in shots})
+        model = BrightnessModel()
+        v = model.init(jax.random.key(0), jnp.zeros((1, 8, 16, 16, 3)))
+        res = evaluate_video_alarms(
+            model, v["params"], {}, store, disrupt_df,
+            [s.shot for s in shots], seq_len=8, dist=3, crop_size=32,
+            batch_size=32, threshold=0.5, t_min=0.2,
+            compute_dtype=jnp.float32)
+        s = res["summary"]
+        assert s["n_disrupt"] == 3 and s["n_normal"] == 3
+        assert s["detection_rate"] >= 0.5
+        # ramp-down shots have no quench flash: the brightness detector
+        # must not false-alarm on them
+        assert s["false_alarm_rate"] is not None
+        assert s["false_alarm_rate"] <= 1.0 / 3.0
+
+    def test_tradeoff_has_false_alarm_axis(self):
+        from kstar_tpu.data import synthetic
+        from kstar_tpu.eval import threshold_sweep
+
+        shots, disrupt_df, _ = synthetic.make_dataset(
+            n_shots=2, n_normal=2, n_frames=640, height=32, width=32, seed=3)
+        store = VideoStore.from_arrays({s.shot: s.frames for s in shots})
+        model = BrightnessModel()
+        v = model.init(jax.random.key(0), jnp.zeros((1, 8, 16, 16, 3)))
+        df = threshold_sweep(model, v["params"], {}, store, disrupt_df,
+                             [s.shot for s in shots],
+                             thresholds=(0.3, 0.6, 0.9), seq_len=8, dist=3,
+                             crop_size=32, batch_size=32, t_min=0.2,
+                             compute_dtype=jnp.float32)
+        assert "false_alarm_rate" in df.columns
+        assert "false_alarm_time_frac" in df.columns
+        assert df.false_alarm_rate.notna().all()
+        # a stricter threshold cannot increase the false-alarm rate
+        assert (np.diff(df.false_alarm_rate.values) <= 1e-9).all()
+
+
+class TestNormalShotFixture:
+    def test_normal_shot_metadata_and_profile(self):
+        from kstar_tpu.data import synthetic
+
+        s = synthetic.make_shot(30200, n_frames=256, height=16, width=16,
+                                seed=2, disrupt=False)
+        assert s.is_disrupt is False
+        assert np.isnan(s.tipminf) and np.isnan(s.tTQend)
+        assert s.frame_tipminf == -1 and s.frame_tTQend == -1
+        # no quench flash: the ramp-down should dim, not spike
+        means = s.frames.astype(np.float32).mean(axis=(1, 2, 3))
+        flat = means[s.frame_startup + 20: s.frame_cutoff - 40]
+        tail = means[s.frame_cutoff - 8: s.frame_cutoff]
+        assert tail.max() < flat.max() + 5.0
+        # 0D table exists, finite, no precursor blow-up
+        assert np.isfinite(s.ts.drop(columns=["shot"]).values).all()
+
+    def test_disruptive_default_unchanged(self):
+        from kstar_tpu.data import synthetic
+
+        a = synthetic.make_shot(30100, n_frames=128, height=16, width=16,
+                                seed=2)
+        b = synthetic.make_shot(30100, n_frames=128, height=16, width=16,
+                                seed=2, disrupt=True)
+        np.testing.assert_array_equal(a.frames, b.frames)
+        np.testing.assert_array_equal(a.ts.values, b.ts.values)
 
 
 class CalibratedBrightnessModel(nn.Module):
