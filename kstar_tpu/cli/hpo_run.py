@@ -39,6 +39,16 @@ def main(argv=None):
                         "as ONE vmapped program (lr via inject_hyperparams, "
                         "focal gamma traced) — the single-chip-native "
                         "alternative to --hpo_workers")
+    p.add_argument("--search", type=str, default="random",
+                   choices=["random", "tpe"],
+                   help="config generation: prior sampling or model-based "
+                        "TPE (the reference's HyperOptSearch, "
+                        "hyperparameter_tuning.py:18)")
+    p.add_argument("--tpe_startup", type=int, default=None,
+                   help="random trials before TPE proposals start "
+                        "(default n_trials//2, min 4)")
+    p.add_argument("--tpe_batch", type=int, default=4,
+                   help="TPE proposals per batch (keeps vmapped rungs dense)")
     args = p.parse_args(argv)
 
     import jax
@@ -78,10 +88,11 @@ def main(argv=None):
         # trials must train under the SAME augmented pipeline the real
         # training run uses (the reference HPO forwards the augmentation
         # args to its datasets, hyperparameter_tuning.py:84-92 / :199-207)
-        # or ASHA ranks configs under a distribution-shifted objective
-        put_train = DevicePreprocessor(crop, AugmentConfig(), train=True,
-                                       out_dtype=jnp.float32,
-                                       seed=args.random_seed)
+        # or ASHA ranks configs under a distribution-shifted objective.
+        # put_train marks the vision path; each trial builds its OWN
+        # train-mode preprocessor inside the trainable (advisor r3: a shared
+        # one folded duplicate augmentation keys across concurrent trials)
+        put_train = True
         put = DevicePreprocessor(crop, train=False, out_dtype=jnp.float32)
     else:
         disrupt_df, ts_df, _ = load_data(ns, need_video=False, dt=DT_0D)
@@ -124,10 +135,19 @@ def main(argv=None):
                                  lstm_dropout=config.get("lstm_dropout", 0.1))
         return build_0d_model(args.model, cfg)
 
+    import itertools
+
+    _trial_ids = itertools.count()      # .__next__ is atomic in CPython
+
     def trainable(config, n_epochs, carry, device=None):
-        """Train n_epochs more; carry = (model, state, steps) for resume.
-        ``device`` pins this trial's arrays/compute (parallel rungs)."""
+        """Train n_epochs more; carry = (model, state, steps, put_tr) for
+        resume. ``device`` pins this trial's arrays/compute (parallel
+        rungs). Each trial owns its train-mode DevicePreprocessor, seeded
+        from a fresh trial id, so concurrent trials are independently
+        augmented (advisor r3)."""
         import contextlib
+
+        from ..config import AugmentConfig
 
         ctx = (jax.default_device(device) if device is not None
                else contextlib.nullcontext())
@@ -144,8 +164,14 @@ def main(argv=None):
                     OptimConfig(lr=config.get("lr", 1e-3)))
                 steps = (make_train_step(model, loss_cfg),
                          make_eval_step(model, loss_cfg))
+                put_tr = None
+                if put_train is not None:
+                    put_tr = DevicePreprocessor(
+                        crop, AugmentConfig(), train=True,
+                        out_dtype=jnp.float32,
+                        seed=args.random_seed + 7919 * next(_trial_ids))
             else:
-                model, state, steps = carry
+                model, state, steps, put_tr = carry
             train_step, eval_step = steps
 
             counts = train_ds.class_counts()
@@ -158,12 +184,12 @@ def main(argv=None):
                 # outside this thread's default_device context
                 state, *_ = run_train_epoch(train_step, state, train_ds,
                                             batch_size, rng, w, m, gb,
-                                            put=put_train if put_train is not None else put,
+                                            put=put_tr if put_tr is not None else put,
                                             prefetch=device is None)
                 _, _, f1 = run_eval_epoch(eval_step, state, valid_ds, batch_size,
                                           w, m, gb, put=put)
                 scores.append(f1)
-            return (model, state, steps), scores
+            return (model, state, steps, put_tr), scores
 
     space = (search_space_video(args.model) if kind == "vision"
              else search_space_0d(args.model))
@@ -182,13 +208,14 @@ def main(argv=None):
         log_path=os.path.join(args.save_dir, f"hpo_{args.model}.json"),
         n_workers=args.hpo_workers,
         devices=jax.devices() if args.hpo_workers > 1 else None,
-        group_trainable=group_trainable)
+        group_trainable=group_trainable, search=args.search,
+        tpe_startup=args.tpe_startup, tpe_batch=args.tpe_batch)
 
     print(f"best trial {best.trial_id}: valid F1 {best.best:.4f}")
     print(f"config: {best.config}")
 
     # best-trial test evaluation (reference hyperparameter_tuning.py:548-570)
-    model, state, _ = best.state
+    model, state = best.state[0], best.state[1]
     from ..eval import evaluate
     results = evaluate(model, state, test_ds, LossConfig(loss_type="Focal"),
                        batch_size=128, put=put)

@@ -30,17 +30,23 @@ class DevicePreprocessor:
     def __init__(self, crop_size: int, cfg: Optional[AugmentConfig] = None,
                  train: bool = True, out_dtype=jnp.bfloat16, seed: int = 0,
                  mesh=None):
+        import threading
+
         self.crop_size = crop_size
         self.cfg = cfg or AugmentConfig()
         self.train = train
         self.out_dtype = out_dtype
         self._key = jax.random.key(seed)
         self._counter = 0
+        self._lock = threading.Lock()   # counter bump is atomic even when a
+        # preprocessor is shared across trial/prefetch threads (advisor r3)
         self.mesh = mesh  # shard the batch axis over the mesh's data axis
 
     def _next_key(self):
-        self._counter += 1
-        return jax.random.fold_in(self._key, self._counter)
+        with self._lock:
+            self._counter += 1
+            c = self._counter
+        return jax.random.fold_in(self._key, c)
 
     def _put(self, x):
         if self.mesh is not None:

@@ -160,8 +160,11 @@ def grouped_batches(dataset, index_iter, k: int, put: Optional[Callable] = None,
     (parallel.put_stack): letting a batch-axis-sharding ``put`` default in
     for the stack would silently shard the scan/STEP axis instead,
     triggering a full reshard + collectives inside every dispatch. The
-    CLIs wire this; library callers on a mesh should too."""
-    if put_stack is None:
+    CLIs wire this; when ``put_stack`` is omitted, the first stacked item
+    is inspected and a STEP-axis-sharded result raises instead of silently
+    resharding every dispatch (advisor finding, round 3)."""
+    defaulted = put_stack is None
+    if defaulted:
         put_stack = put
     indices = list(index_iter)
     n_full = len(indices) // k
@@ -173,6 +176,26 @@ def grouped_batches(dataset, index_iter, k: int, put: Optional[Callable] = None,
                  else shp(batch))
         return batch, labels.reshape(k, -1)
 
+    def check_step_axis_sharding(item) -> None:
+        """Raise if a defaulted ``put`` sharded axis 0 — the scan/STEP axis —
+        of a (K, B, ...) stack over a multi-device mesh axis."""
+        import jax
+
+        for a in jax.tree.leaves(item):
+            sh = getattr(a, "sharding", None)
+            spec = getattr(sh, "spec", None)
+            if spec is None or getattr(a, "ndim", 0) < 2 or len(spec) == 0:
+                continue
+            names = spec[0] if isinstance(spec[0], tuple) else (spec[0],)
+            names = [n for n in names if n is not None]
+            if names and any(sh.mesh.shape.get(n, 1) > 1 for n in names):
+                raise ValueError(
+                    "grouped_batches: `put` sharded the scan/STEP axis of a "
+                    f"(k={k}, B, ...) stack over mesh axis {names} — every "
+                    "dispatch would reshard with collectives. Pass a stack-"
+                    "aware put_stack (e.g. parallel.put_stack: batch axis 1 "
+                    "over 'data').")
+
     def body(send, stop):
         for i in range(n_full):
             if stop.is_set():
@@ -180,6 +203,8 @@ def grouped_batches(dataset, index_iter, k: int, put: Optional[Callable] = None,
             item = gather_stack(indices[i * k:(i + 1) * k])
             if put_stack is not None:
                 item = put_stack(item)
+                if defaulted and i == 0:
+                    check_step_axis_sharding(item)
             if not send(("stack", item)):
                 return
         for idx in indices[n_full * k:]:

@@ -1,4 +1,4 @@
-"""Hyperparameter optimization: random search + ASHA successive halving.
+"""Hyperparameter optimization: random or TPE search + ASHA halving.
 
 Rebuild of the reference's Ray Tune + HyperOpt + ASHAScheduler stack
 (reference src/hpo.py, hyperparameter_tuning.py:513-546) without external
@@ -6,7 +6,9 @@ dependencies: trials are functional (config, state) pairs, the scheduler is
 synchronous successive halving (train every trial to the rung budget, keep
 the top 1/reduction_factor, resume survivors from their own train state —
 the reference's tune.checkpoint_dir restore, hyperparameter_tuning.py:194-197),
-and per-model search spaces mirror hyperparameter_tuning.py:454-511.
+per-model search spaces mirror hyperparameter_tuning.py:454-511, and
+``search="tpe"`` swaps random config generation for the model-based TPE
+sampler (train/tpe.py — the reference's HyperOptSearch equivalent).
 """
 
 from __future__ import annotations
@@ -21,21 +23,32 @@ import numpy as np
 
 
 # -- search space -----------------------------------------------------------
+# Each factory tags its sampler with kind/bounds attributes so the TPE
+# sampler (train/tpe.py) can model the distribution; plain random search
+# only ever calls the sampler.
 
 def uniform(lo: float, hi: float):
-    return lambda rng: float(rng.uniform(lo, hi))
+    fn = lambda rng: float(rng.uniform(lo, hi))
+    fn.kind, fn.lo, fn.hi = "uniform", float(lo), float(hi)
+    return fn
 
 
 def loguniform(lo: float, hi: float):
-    return lambda rng: float(np.exp(rng.uniform(np.log(lo), np.log(hi))))
+    fn = lambda rng: float(np.exp(rng.uniform(np.log(lo), np.log(hi))))
+    fn.kind, fn.lo, fn.hi = "loguniform", float(lo), float(hi)
+    return fn
 
 
 def choice(options: List):
-    return lambda rng: options[int(rng.integers(len(options)))]
+    fn = lambda rng: options[int(rng.integers(len(options)))]
+    fn.kind, fn.options = "choice", list(options)
+    return fn
 
 
 def randint(lo: int, hi: int):
-    return lambda rng: int(rng.integers(lo, hi))
+    fn = lambda rng: int(rng.integers(lo, hi))
+    fn.kind, fn.lo, fn.hi = "randint", int(lo), int(hi)
+    return fn
 
 
 def sample_config(space: Dict[str, Callable], rng: np.random.Generator) -> Dict:
@@ -69,6 +82,10 @@ def run_asha(
     n_workers: int = 1,
     devices: Optional[List] = None,
     group_trainable: Optional[Callable] = None,
+    search: str = "random",
+    tpe_startup: Optional[int] = None,
+    tpe_batch: int = 4,
+    tpe_gamma: float = 0.25,
 ) -> Tuple[Trial, List[Trial]]:
     """Synchronous successive halving.
 
@@ -89,11 +106,20 @@ def run_asha(
     lr/focal_gamma) advance as ONE vmapped program per rung — the TPU-native
     replacement for per-trial workers. Cross-architecture groups simply land
     in different programs; a singleton group still runs vmapped (N=1).
+
+    ``search="tpe"`` replaces purely random config generation with the
+    reference's TPE model-based search (HyperOptSearch,
+    reference hyperparameter_tuning.py:18,:527-546): ``tpe_startup`` trials
+    (default half the pool, floored at 4) sample from the prior and run to
+    the first rung; the remaining trials are then proposed batch-by-batch
+    (``tpe_batch``, keeps vmapped group rungs dense) by a TPESampler
+    (train/tpe.py) observing first-rung scores. The total epoch budget is
+    identical to random search — every trial reaches the first rung and the
+    bracket then halves exactly as before.
     """
     import inspect
 
     rng = np.random.default_rng(seed)
-    trials = [Trial(i, sample_config(space, rng)) for i in range(n_trials)]
 
     takes_device = len(inspect.signature(trainable).parameters) >= 4
 
@@ -119,13 +145,10 @@ def run_asha(
                 t.scores.extend(sc)
                 t.epochs_done += add
 
-    rung_budget = grace_period
-    alive = list(trials)
-    while alive:
-        jobs = [(t, min(rung_budget, max_epochs) - t.epochs_done)
-                for t in alive]
-        jobs = [(t, add) for t, add in jobs if add > 0]
-        if group_trainable is not None and jobs:
+    def run_jobs(jobs) -> None:
+        if not jobs:
+            return
+        if group_trainable is not None:
             advance_grouped(jobs)
         elif n_workers > 1 and len(jobs) > 1:
             from concurrent.futures import ThreadPoolExecutor
@@ -139,6 +162,39 @@ def run_asha(
         else:
             for i, (t, add) in enumerate(jobs):
                 advance(t, add, (devices or [None])[i % len(devices or [None])])
+
+    first_rung = min(grace_period, max_epochs)
+    if search == "tpe":
+        from .tpe import TPESampler
+
+        n_startup = min(tpe_startup or max(n_trials // 2, 4), n_trials)
+        trials = [Trial(i, sample_config(space, rng))
+                  for i in range(n_startup)]
+        run_jobs([(t, first_rung) for t in trials])
+        sampler = TPESampler(space, gamma=tpe_gamma)
+        for t in trials:
+            sampler.observe(t.config, t.best)
+        i = n_startup
+        while i < n_trials:
+            batch = [Trial(j, sampler.sample(rng))
+                     for j in range(i, min(i + tpe_batch, n_trials))]
+            i += len(batch)
+            run_jobs([(t, first_rung) for t in batch])
+            for t in batch:
+                sampler.observe(t.config, t.best)
+            trials.extend(batch)
+    elif search == "random":
+        trials = [Trial(i, sample_config(space, rng)) for i in range(n_trials)]
+    else:
+        raise ValueError(f"unknown search {search!r} (random|tpe)")
+
+    rung_budget = grace_period
+    alive = list(trials)
+    while alive:
+        jobs = [(t, min(rung_budget, max_epochs) - t.epochs_done)
+                for t in alive]
+        jobs = [(t, add) for t, add in jobs if add > 0]
+        run_jobs(jobs)
         if rung_budget >= max_epochs:
             break
         alive.sort(key=lambda t: t.best, reverse=True)

@@ -222,6 +222,109 @@ class TestVmappedRung:
         assert best.best > 0
 
 
+class TestTPESampler:
+    """train/tpe.py — the reference's HyperOptSearch equivalent
+    (hyperparameter_tuning.py:18) rebuilt dependency-free."""
+
+    def _space(self):
+        return {"lr": loguniform(1e-4, 1e-2), "u": uniform(0.0, 1.0),
+                "n": randint(1, 6), "c": choice(["a", "b", "c"])}
+
+    def test_samples_respect_bounds(self):
+        from kstar_tpu.train.tpe import TPESampler
+
+        rng = np.random.default_rng(0)
+        space = self._space()
+        s = TPESampler(space)
+        for i in range(12):
+            cfg = sample_config(space, rng)
+            s.observe(cfg, float(rng.uniform()))
+        for _ in range(50):
+            c = s.sample(rng)
+            assert 1e-4 <= c["lr"] <= 1e-2
+            assert 0.0 <= c["u"] <= 1.0
+            assert 1 <= c["n"] < 6 and isinstance(c["n"], int)
+            assert c["c"] in ("a", "b", "c")
+
+    def test_concentrates_on_good_region(self):
+        """Observations scoring high near lr=1e-3 / u=0.2 must pull
+        proposals toward that region vs the prior."""
+        from kstar_tpu.train.tpe import TPESampler
+
+        rng = np.random.default_rng(1)
+        space = self._space()
+        s = TPESampler(space, gamma=0.25)
+        for _ in range(40):
+            cfg = sample_config(space, rng)
+            score = (1.0 / (1.0 + (np.log10(cfg["lr"]) + 3.0) ** 2)
+                     + 1.0 / (1.0 + 10 * (cfg["u"] - 0.2) ** 2))
+            s.observe(cfg, float(score))
+        tpe_lr = [abs(np.log10(s.sample(rng)["lr"]) + 3.0) for _ in range(60)]
+        prior_lr = [abs(np.log10(sample_config(space, rng)["lr"]) + 3.0)
+                    for _ in range(60)]
+        assert np.mean(tpe_lr) < np.mean(prior_lr)
+
+    def test_categorical_prefers_good_option(self):
+        from kstar_tpu.train.tpe import TPESampler
+
+        rng = np.random.default_rng(2)
+        space = {"c": choice(["a", "b", "c"]), "u": uniform(0, 1)}
+        s = TPESampler(space, gamma=0.25)
+        for _ in range(40):
+            cfg = sample_config(space, rng)
+            s.observe(cfg, 1.0 if cfg["c"] == "b" else 0.1)
+        picks = [s.sample(rng)["c"] for _ in range(40)]
+        assert picks.count("b") > len(picks) / 2
+
+    def test_empty_observations_fall_back_to_prior(self):
+        from kstar_tpu.train.tpe import TPESampler
+
+        rng = np.random.default_rng(3)
+        c = TPESampler(self._space()).sample(rng)
+        assert set(c) == {"lr", "u", "n", "c"}
+
+
+class TestTPEInASHA:
+    def _trainable(self, counter):
+        def trainable(config, n_epochs, state):
+            done = state or 0
+            counter["epochs"] += n_epochs
+            q = 1.0 / (1.0 + (np.log10(config["lr"]) + 3.0) ** 2)
+            scores = [q * (1 - 0.5 ** (done + e + 1)) for e in range(n_epochs)]
+            return done + n_epochs, scores
+        return trainable
+
+    def test_same_budget_and_better_or_equal_best(self):
+        """search='tpe' spends the identical epoch budget (every trial
+        reaches the first rung, then the bracket halves as before) and, on
+        an lr-sensitive objective, finds a config at least as good as
+        random search from the same seed."""
+        space = {"lr": loguniform(1e-5, 1e-1)}
+        kw = dict(n_trials=12, max_epochs=8, grace_period=2,
+                  reduction_factor=2, seed=7)
+        c_r, c_t = {"epochs": 0}, {"epochs": 0}
+        best_r, trials_r = run_asha(self._trainable(c_r), space,
+                                    search="random", **kw)
+        best_t, trials_t = run_asha(self._trainable(c_t), space,
+                                    search="tpe", tpe_startup=6,
+                                    tpe_batch=3, **kw)
+        assert c_r["epochs"] == c_t["epochs"]
+        assert len(trials_t) == len(trials_r) == 12
+        assert best_t.best >= best_r.best - 1e-9
+        # TPE proposals (post-startup) concentrate nearer the optimum than
+        # the random startup batch
+        d = lambda t: abs(np.log10(t.config["lr"]) + 3.0)
+        startup = [d(t) for t in trials_t[:6]]
+        proposed = [d(t) for t in trials_t[6:]]
+        assert np.mean(proposed) < np.mean(startup)
+
+    def test_unknown_search_raises(self):
+        with pytest.raises(ValueError):
+            run_asha(self._trainable({"epochs": 0}),
+                     {"lr": loguniform(1e-4, 1e-2)}, n_trials=2,
+                     max_epochs=2, grace_period=1, search="bogus")
+
+
 class TestOrbaxCheckpoint:
     def test_roundtrip(self, tmp_path):
         import jax
