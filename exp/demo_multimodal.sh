@@ -15,6 +15,7 @@ cd "$(dirname "$0")/.."
 python -m kstar_tpu.cli.train_multimodal \
   --model_type concat --use_GB --gb_dynamic \
   --synthetic --synthetic_difficulty 1.0 --synthetic_shots 20 \
+  --synthetic_normal 4 \
   --synthetic_frames 1260 --synthetic_dt 0.004761904761904762 \
   --seq_len 21 --tau 4 --dist 105 \
   --num_epoch 16 --batch_size 32 --use_sampling --steps_per_dispatch 8 \

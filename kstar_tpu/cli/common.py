@@ -36,6 +36,11 @@ def add_common_args(p: argparse.ArgumentParser, batch_size: int = 64) -> None:
                         "seconds-scale precursors, distractor flashes and "
                         "noise (data/synthetic.py)")
     p.add_argument("--synthetic_shots", type=int, default=10)
+    p.add_argument("--synthetic_normal", type=int, default=0,
+                   help="additional NON-disruptive synthetic shots (ramp-"
+                        "down, no quench): excluded from train/valid/test "
+                        "windows, swept by the alarm metrics as the "
+                        "false-alarm population (eval/alarms.py)")
     p.add_argument("--synthetic_frames", type=int, default=256)
     p.add_argument("--random_seed", type=int, default=42)
     p.add_argument("--save_dir", type=str, default="./results")
@@ -118,7 +123,8 @@ def load_data(args, need_video: bool = False, dt: float = 4.0 / 210.0):
             n_frames=getattr(args, "synthetic_frames", 256),
             height=64, width=64, dt=dt,
             seed=args.random_seed,
-            difficulty=getattr(args, "synthetic_difficulty", 0.0))
+            difficulty=getattr(args, "synthetic_difficulty", 0.0),
+            n_normal=getattr(args, "synthetic_normal", 0))
         store = VideoStore.from_arrays({s.shot: s.frames for s in shots})
         return disrupt_df, ts_df, store
 
@@ -155,6 +161,19 @@ def load_data(args, need_video: bool = False, dt: float = 4.0 / 210.0):
                  if f.endswith(".npy")] if os.path.isdir(vdir) else []
         store = VideoStore(vdir, shots)
     return disrupt_df, ts_df, store
+
+
+def split_normal_shots(disrupt_df, shots):
+    """Partition a shot list into (disruptive, normal) per the shot log's
+    is_disrupt flag (or NaN tipminf). Normal shots stay out of the
+    train/valid/test window splits — they would contribute zero windows —
+    and are swept by the alarm metrics as the false-alarm population."""
+    if "is_disrupt" in disrupt_df.columns:
+        normal = set(disrupt_df.shot[~disrupt_df.is_disrupt.astype(bool)].tolist())
+    else:
+        normal = set(disrupt_df.shot[~np.isfinite(disrupt_df.tipminf)].tolist())
+    return ([s for s in shots if s not in normal],
+            [s for s in shots if s in normal])
 
 
 def make_tag(model: str, args, loss_cfg, train_cfg) -> str:

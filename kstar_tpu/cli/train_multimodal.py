@@ -74,8 +74,11 @@ def main(argv=None):
     test_shot = None if args.synthetic else args.test_shot_num
 
     dt = DT_MULTI if not args.synthetic else args.synthetic_dt
+    from .common import split_normal_shots
+
     disrupt_df, ts_df, store = load_data(args, need_video=True, dt=dt)
     shots = sorted(store.arrays.keys())
+    shots, normal_s = split_normal_shots(disrupt_df, shots)
     # seeded random split (reference preparing_multi_data, utility.py:121-172)
     train_s, valid_s, test_s = random_split_shots(shots, test_shot, seed=42)
 
@@ -197,9 +200,11 @@ def main(argv=None):
             import json as _json
 
             from ..eval import score_alarms, sweep_multimodal_prob_curves
+            # normal shots join the sweep as the false-alarm population
             curves = sweep_multimodal_prob_curves(
                 model, state.params, state.batch_stats, store, ts_df,
-                disrupt_df, test_s, cols, scaler, seq_len=args.seq_len,
+                disrupt_df, list(test_s) + list(normal_s), cols, scaler,
+                seq_len=args.seq_len,
                 dist=args.dist, dt=dt, tau=args.tau, crop_size=crop,
                 batch_size=args.batch_size, compute_dtype=dtype)
             res = score_alarms(curves, args.threshold)

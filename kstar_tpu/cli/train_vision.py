@@ -112,8 +112,11 @@ def main(argv=None):
     train_cfg, loss_cfg, optim_cfg = configs_from_args(args)
     test_shot = None if args.synthetic else args.test_shot_num
 
+    from .common import split_normal_shots
+
     disrupt_df, ts_df, store = load_data(args, need_video=True)
     shots = sorted(store.arrays.keys())
+    shots, normal_s = split_normal_shots(disrupt_df, shots)
     train_s, valid_s, test_s = split_shots(shots, test_shot)
 
     cfg, seq_len = model_config(args)
@@ -223,9 +226,12 @@ def main(argv=None):
 
             from ..eval import (score_alarms, sweep_prob_curves,
                                 threshold_tradeoff_from_curves)
+            # normal (non-disruptive) shots join the sweep as the
+            # false-alarm population (round-3 verdict #4)
             curves = sweep_prob_curves(
                 model, state.params, state.batch_stats, store, disrupt_df,
-                test_s, seq_len=seq_len, dist=args.dist, crop_size=crop,
+                list(test_s) + list(normal_s), seq_len=seq_len,
+                dist=args.dist, crop_size=crop,
                 batch_size=args.batch_size, compute_dtype=dtype)
             res = score_alarms(curves, args.threshold)
             print(f"alarm summary: {res['summary']}")

@@ -332,9 +332,14 @@ class VideoSweeper:
             return 4 << 30
         return max((limit - in_use) // 2, 512 << 20)
 
-    def _sweep_group(self, cropped_list, starts_list) -> list:
+    def _sweep_group(self, cropped_list, starts_list, s_pad: int = 0) -> list:
         """One device dispatch over a group of already-cropped shots: pad to
-        the group's half-octave frame/chunk buckets, stack, scan, slice."""
+        the group's half-octave frame/chunk buckets (plus ``s_pad`` repeats
+        of the last shot so every group shares the compiled program's shot
+        count), stack, scan, slice."""
+        if s_pad:
+            cropped_list = list(cropped_list) + [cropped_list[-1]] * s_pad
+            starts_list = list(starts_list) + [starts_list[-1]] * s_pad
         S = len(cropped_list)
         B = self.batch_size
         t_buck = bucket_len(max(len(f) for f in cropped_list))
@@ -383,9 +388,15 @@ class VideoSweeper:
         unconditionally OOMs by construction), and each group runs as ONE
         dispatch — shots padded to a common half-octave frame bucket
         (repeating the last frame) and chunk bucket, scanned on device, and
-        the per-shot probability arrays sliced back out. Shots are packed
-        into groups in ascending length order so a group shares a tight
-        bucket; results return in input order."""
+        the per-shot probability arrays sliced back out.
+
+        Groups are a FIXED size (budget // the library's largest frame
+        bucket, capped at bucket_len(S)); the final group repeats its last
+        shot up to that size. Shots are packed in ascending length order so
+        a group shares a tight frame bucket, and the fixed shot count means
+        all groups with the same (frame, chunk) bucket reuse one compiled
+        program instead of compiling per group size. Results return in
+        input order."""
         S = len(frames_list)
         if S == 0:
             return []
@@ -400,21 +411,22 @@ class VideoSweeper:
 
         budget = hbm_budget_bytes or self._hbm_budget_bytes()
         itembytes = self.crop_size * self.crop_size * 3
+        max_buck = max(bucket_len(len(c)) for c in cropped_list)
+        s_chunk = max(min(int(budget // (max_buck * itembytes)),
+                          bucket_len(S)), 1)
         order = sorted(range(S), key=lambda i: len(cropped_list[i]))
-        groups, cur = [], []
-        for i in order:
-            # ascending order: shot i's bucket is the group max if added
-            projected = (len(cur) + 1) * bucket_len(len(cropped_list[i])) * itembytes
-            if cur and projected > budget:
-                groups.append(cur)
-                cur = []
-            cur.append(i)
-        groups.append(cur)
+        groups = [order[i:i + s_chunk] for i in range(0, S, s_chunk)]
 
         out: list = [None] * S
         for g in groups:
+            # full groups share one program at s_chunk shots; a partial
+            # final group pads only to its own shot-count bucket (one extra
+            # compile beats sweeping up to s_chunk-1 phantom shots)
+            target = s_chunk if len(g) == s_chunk else min(
+                bucket_len(len(g)), s_chunk)
             probs = self._sweep_group([cropped_list[i] for i in g],
-                                      [starts_list[i] for i in g])
+                                      [starts_list[i] for i in g],
+                                      s_pad=target - len(g))
             for i, p in zip(g, probs):
                 out[i] = p
         return out
