@@ -1,0 +1,123 @@
+"""Same-budget random-vs-TPE search A/B (round-3 verdict next #5).
+
+The reference searches with HyperOpt TPE under ASHA (reference
+hyperparameter_tuning.py:18 ``HyperOptSearch``, :527-546
+``tune.run(search_alg=...)``); the rebuild's model-based equivalent is
+train/tpe.py behind ``run_asha(search="tpe")``. This harness runs BOTH
+search modes through the real HPO CLI on the HARD synthetic 0D fixture
+(difficulty 1.0 — the easy fixture saturates every trial at F1 1.0 and
+cannot rank search algorithms) with an identical trial/epoch budget and
+identical data, over several seeds, and records per-seed best valid F1 +
+best-trial test metrics.
+
+Writes results/hpo_tpe_ab.json and per-arm trial logs
+results/hpo_Transformer_{random,tpe}_s{seed}.json.
+
+Usage: python analysis/ab_tpe.py [n_seeds] [n_trials]
+"""
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+from kstar_tpu.cli import hpo_run
+
+RESULTS = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "results")
+
+BUDGET = dict(n_trials=16,
+              max_epochs=int(os.environ.get("KSTAR_AB_TPE_EPOCHS", "8")),
+              grace_period=int(os.environ.get("KSTAR_AB_TPE_GRACE", "2")),
+              reduction_factor=2)
+# overridable for CPU smoke runs (KSTAR_AB_TPE_SHOTS=8 KSTAR_AB_TPE_FRAMES=1260;
+# below ~2*dist+seq_len usable rows per shot the windows go single-class and
+# the CLI refuses to run — the objective would be a constant 0.5)
+SHOTS = os.environ.get("KSTAR_AB_TPE_SHOTS", "24")
+FRAMES = os.environ.get("KSTAR_AB_TPE_FRAMES", "1260")
+
+
+def run_arm(search: str, seed: int, n_trials: int):
+    tmp = tempfile.mkdtemp(prefix=f"hpo_{search}_")
+    argv = [
+        "--model", "Transformer", "--synthetic",
+        "--synthetic_difficulty", "1.0",
+        "--synthetic_shots", SHOTS, "--synthetic_frames", FRAMES,
+        "--seq_len", "21", "--dist", "105",
+        "--n_trials", str(n_trials),
+        "--max_epochs", str(BUDGET["max_epochs"]),
+        "--grace_period", str(BUDGET["grace_period"]),
+        "--reduction_factor", str(BUDGET["reduction_factor"]),
+        "--random_seed", str(seed),
+        "--hpo_vmap", "--search", search,
+        "--save_dir", tmp,
+    ]
+    t0 = time.perf_counter()
+    best, test = hpo_run.main(argv)
+    wall = time.perf_counter() - t0
+    dst = os.path.join(RESULTS, f"hpo_Transformer_{search}_s{seed}.json")
+    shutil.move(os.path.join(tmp, "hpo_Transformer.json"), dst)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return {
+        "search": search, "seed": seed,
+        "best_valid_f1": float(best.best),
+        "best_trial": best.trial_id,
+        "best_config": {k: (v if isinstance(v, (int, float, str)) else str(v))
+                        for k, v in best.config.items()},
+        "test_macro_f1": float(test["macro_f1"]),
+        "test_roc_auc": float(test["roc_auc"]),
+        "wall_s": round(wall, 1),
+        "trial_log": os.path.basename(dst),
+    }
+
+
+def main():
+    n_seeds = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    n_trials = int(sys.argv[2]) if len(sys.argv) > 2 else BUDGET["n_trials"]
+    runs = []
+    for seed in range(42, 42 + n_seeds):
+        for search in ("random", "tpe"):
+            print(f"=== arm search={search} seed={seed} "
+                  f"(n_trials={n_trials}) ===", flush=True)
+            r = run_arm(search, seed, n_trials)
+            print(json.dumps(r), flush=True)
+            runs.append(r)
+
+    def agg(search, key):
+        vs = [r[key] for r in runs if r["search"] == search]
+        return sum(vs) / len(vs)
+
+    summary = {
+        "budget": {**BUDGET, "n_trials": n_trials, "n_seeds": n_seeds},
+        "fixture": (f"synthetic 0D, difficulty 1.0, {SHOTS} shots x "
+                    f"{FRAMES} rows, seq_len 21, dist 105"),
+        "mean_best_valid_f1": {s: agg(s, "best_valid_f1")
+                               for s in ("random", "tpe")},
+        "mean_test_macro_f1": {s: agg(s, "test_macro_f1")
+                               for s in ("random", "tpe")},
+        "mean_wall_s": {s: round(agg(s, "wall_s"), 1)
+                        for s in ("random", "tpe")},
+        "runs": runs,
+        "note": "identical trial/epoch budget per arm; wall-clock shares "
+                "one process-level jit cache across arms, so quality (F1) "
+                "is the comparison axis, not wall-clock",
+    }
+    out = os.path.join(RESULTS, "hpo_tpe_ab.json")
+    with open(out, "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps({k: v for k, v in summary.items() if k != "runs"},
+                     indent=2))
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -22,6 +22,13 @@ def main(argv=None):
     p.add_argument("--image_size", type=int, default=64)
     p.add_argument("--data_root", type=str, default="./dataset")
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--synthetic_difficulty", type=float, default=0.0,
+                   help="0 = easy smoke fixture; 1 = hard fixture (gradual "
+                        "precursors, distractors, heavy noise) — use > 0 "
+                        "when comparing search algorithms, or every trial "
+                        "saturates the objective")
+    p.add_argument("--synthetic_shots", type=int, default=10)
+    p.add_argument("--synthetic_frames", type=int, default=256)
     p.add_argument("--n_trials", type=int, default=16)
     p.add_argument("--max_epochs", type=int, default=16)
     p.add_argument("--grace_period", type=int, default=2)
@@ -71,7 +78,10 @@ def main(argv=None):
     cols = Schema.INPUT_FEATURES
     test_shot = None if args.synthetic else args.test_shot_num
     ns = argparse.Namespace(synthetic=args.synthetic, data_root=args.data_root,
-                            random_seed=args.random_seed)
+                            random_seed=args.random_seed,
+                            synthetic_difficulty=args.synthetic_difficulty,
+                            synthetic_shots=args.synthetic_shots,
+                            synthetic_frames=args.synthetic_frames)
     put = put_train = None
     if kind == "vision":
         disrupt_df, ts_df, store = load_data(ns, need_video=True, dt=DT_0D)
@@ -101,6 +111,23 @@ def main(argv=None):
         mk = lambda df: TSDataset(df, disrupt_df, cols, seq_len=args.seq_len,
                                   dist=args.dist, dt=DT_0D, scaler=scaler)
         train_ds, valid_ds, test_ds = mk(df_train), mk(df_valid), mk(df_test)
+
+    for name, ds in (("train", train_ds), ("valid", valid_ds),
+                     ("test", test_ds)):
+        if len(ds) == 0:
+            raise SystemExit(
+                f"{name} split has 0 windows: shots are too short for "
+                f"seq_len={args.seq_len} + dist={args.dist} (each window "
+                f"needs seq_len + dist rows before the quench; raise "
+                f"--synthetic_frames or lower --dist)")
+        import numpy as _np
+        if len(_np.unique(_np.asarray(ds.labels))) < 2:
+            raise SystemExit(
+                f"{name} split is single-class: every window in the search "
+                f"objective would score a constant F1 (0.5) and no search "
+                f"algorithm can be ranked. With dist={args.dist} the "
+                f"non-disruptive zone needs > seq_len + 2*dist rows; raise "
+                f"--synthetic_frames or lower --dist")
 
     def make_model(config):
         if args.model == "ViViT":
