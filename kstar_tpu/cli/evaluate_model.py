@@ -24,6 +24,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model_type", type=str, default="concat", choices=["concat", "TFN"])
     p.add_argument("--use_GB", action="store_true")
     p.add_argument("--tau", type=int, default=1)
+    p.add_argument("--pair_mode", choices=("reference", "aligned"),
+                   default="reference",
+                   help="multimodal video<->0D pairing; pass the value used "
+                        "at training time (see cli/train_multimodal.py)")
     p.add_argument("--ts_layers", type=int, default=4)
     p.add_argument("--ts_heads", type=int, default=8)
     p.add_argument("--tag", type=str, required=False, default=None)
@@ -149,7 +153,8 @@ def main(argv=None):
         scaler.fit(ts_df[ts_df.shot.isin(train_s)][cols].values)
         test_ds = MultiModalDataset(store, ts_df, disrupt_df, cols, test_s,
                                     seq_len=args.seq_len, dist=args.dist,
-                                    dt=dt, tau=args.tau, scaler=scaler)
+                                    dt=dt, tau=args.tau, scaler=scaler,
+                                    pair_mode=args.pair_mode)
 
         dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
         crop = min(args.image_size, store.arrays[shots[0]].shape[1])

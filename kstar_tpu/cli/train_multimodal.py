@@ -49,6 +49,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dim_feedforward", type=int, default=512)
     p.add_argument("--use_cca_pretrain", action="store_true")
     p.add_argument("--skip_extras", action="store_true")
+    p.add_argument("--pair_mode", choices=("reference", "aligned"),
+                   default="reference",
+                   help="video<->0D window pairing after the t_disrupt filter. "
+                        "'reference' reproduces the reference's shifted "
+                        "re-pairing (src/dataset.py:639-652) exactly; "
+                        "'aligned' drops filtered entries as pairs, keeping "
+                        "the two modalities time-aligned (fixes the 0D "
+                        "stream's flat-top false alarms — see "
+                        "data/windows.py:multimodal_windows)")
     return p
 
 
@@ -88,7 +97,8 @@ def main(argv=None):
 
     mk = lambda ss: MultiModalDataset(store, ts_df, disrupt_df, cols, ss,
                                       seq_len=args.seq_len, dist=args.dist,
-                                      dt=dt, tau=args.tau, scaler=scaler)
+                                      dt=dt, tau=args.tau, scaler=scaler,
+                                      pair_mode=args.pair_mode)
     train_ds, valid_ds, test_ds = mk(train_s), mk(valid_s), mk(test_s)
     print(f"datasets: train {len(train_ds)} valid {len(valid_ds)} test {len(test_ds)} "
           f"| class counts {train_ds.class_counts().tolist()}")

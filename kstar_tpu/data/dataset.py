@@ -258,11 +258,13 @@ class MultiModalDataset:
         dt: float = 1.0 / 210.0,
         tau: int = 1,
         scaler: Optional[Scaler] = None,
+        pair_mode: str = "reference",
     ):
         self.seq_len = seq_len
         self.dist = dist
         self.dt = dt
         self.tau = tau
+        self.pair_mode = pair_mode
         self.cols = list(cols)
         self.store = store
 
@@ -296,6 +298,7 @@ class MultiModalDataset:
                 frame_tipminf=int(row.frame_tipminf),
                 n_frames=store.n_frames(shot),
                 seq_len=seq_len, dist=dist, dt=dt, tau=tau,
+                pair_mode=pair_mode,
             )
             if mw is None or len(mw) == 0:
                 continue

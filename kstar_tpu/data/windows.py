@@ -163,6 +163,7 @@ def multimodal_windows(
     dist: int = 3,
     dt: float = 1.0 / 210.0,
     tau: int = 1,
+    pair_mode: str = "reference",
 ) -> Optional[MultiShotWindows]:
     """Paired video/0D windows with the 2023-06-20 variable-stride matching.
 
@@ -173,9 +174,31 @@ def multimodal_windows(
     Label is disruptive iff the video start lies within one frame of
     ``dis_frame = frame_tipminf - dist - seq_len*tau``.
 
+    ``pair_mode`` controls how the post-walk ``t <= t_disrupt`` filter
+    (reference src/dataset.py:639-652) recombines the two ladders:
+
+    * ``"reference"`` (default, golden-tested parity): filter the ts list
+      alone, then truncate the video list's TAIL to match — exactly the
+      reference's ``ts_indices_tmp`` logic. When the filter drops the
+      near-quench head of the ts ladder (it usually drops ~seq_len*tau - dist
+      entries whenever seq_len*tau > dist), every surviving pair is SHIFTED:
+      video window i is paired with the ts window of entry i+n_dropped, an
+      offset that compounds through the coarse-stride zones, so mid/late
+      flat-top video ends up paired with EARLY-shot 0D rows. A fusion model
+      trained on these pairs never sees mid-shot 0D content labeled normal
+      and its 0D stream false-alarms through the flat-top of every swept
+      shot (measured: demo_multimodal false_alarm_rate 1.0 at every
+      threshold before the fix).
+    * ``"aligned"``: drop the offending entries as PAIRS, preserving the
+      video<->ts correspondence the walk established. Windows whose 0D
+      anchor would cross t_disrupt are discarded together with their video
+      half instead of shifting everything after them.
+
     Returns ``None`` when the shot is skipped (too short / 0D data ends
     before the disruptive phase).
     """
+    if pair_mode not in ("reference", "aligned"):
+        raise ValueError(f"pair_mode must be 'reference' or 'aligned', got {pair_mode!r}")
     t_disrupt = tipminf - dist * dt
     dis_frame = frame_tipminf - dist - seq_len * tau
 
@@ -220,12 +243,18 @@ def multimodal_windows(
             idx += max(int(tau * seq_len) // 3, 1)
 
     # keep only 0D windows whose anchor time is at or before t_disrupt
-    ts_kept = [i for i in ts_indices if float(times[i]) <= t_disrupt]
+    if pair_mode == "aligned":
+        kept_pairs = [(v, t) for v, t in zip(video_indices, ts_indices)
+                      if float(times[t]) <= t_disrupt]
+        video_indices = [v for v, _ in kept_pairs]
+        ts_kept = [t for _, t in kept_pairs]
+    else:
+        ts_kept = [i for i in ts_indices if float(times[i]) <= t_disrupt]
 
-    if len(ts_kept) > len(video_indices):
-        ts_kept = ts_kept[: len(video_indices)]
-    elif len(ts_kept) < len(video_indices):
-        video_indices = video_indices[: len(ts_kept)]
+        if len(ts_kept) > len(video_indices):
+            ts_kept = ts_kept[: len(video_indices)]
+        elif len(ts_kept) < len(video_indices):
+            video_indices = video_indices[: len(ts_kept)]
 
     labels = np.array(
         [LABEL_DISRUPT if v >= dis_frame - 1 else LABEL_NORMAL for v in video_indices],

@@ -99,9 +99,14 @@ class TestTSWindowGolden:
 
 
 class TestMultimodalWindowGolden:
+    # (8, 12, 1) and (10, 16, 1) have dist > seq_len*tau — the regime where
+    # the reference's post-walk t_disrupt filter (src/dataset.py:639-652)
+    # drops the head of the ts ladder and SHIFTS the video<->0D pairing;
+    # pair_mode="reference" must reproduce that shift exactly
     @pytest.mark.parametrize("seq_len,dist,tau", [(10, 3, 1), (10, 1, 1),
                                                   (10, 3, 2), (21, 3, 4),
-                                                  (8, 6, 3), (12, 2, 4)])
+                                                  (8, 6, 3), (12, 2, 4),
+                                                  (8, 12, 1), (10, 16, 1)])
     def test_indices_and_labels_match(self, tmp_path, tiny_dataset,
                                       ref_dataset_mod, seq_len, dist, tau):
         from kstar_tpu.config import DT_0D, Schema

@@ -138,6 +138,50 @@ class TestMultimodalWindows:
             got = W.multimodal_video_frame_indices(np.array([s]), L, tau)[0]
             np.testing.assert_array_equal(got, expected)
 
+    def test_pair_modes_agree_when_nothing_dropped(self):
+        # dist < seq_len*tau: the t_disrupt filter drops nothing, so the
+        # reference re-pairing and the aligned pairing are identical
+        times, tftsrt, tipminf, fs, ft = self._setup()
+        kw = dict(n_frames=400, seq_len=21, dist=3, dt=0.01, tau=1)
+        ref = W.multimodal_windows(1, times, tftsrt, tipminf, fs, ft, **kw)
+        ali = W.multimodal_windows(1, times, tftsrt, tipminf, fs, ft,
+                                   pair_mode="aligned", **kw)
+        np.testing.assert_array_equal(ref.video_starts, ali.video_starts)
+        np.testing.assert_array_equal(ref.ts_starts, ali.ts_starts)
+        np.testing.assert_array_equal(ref.labels, ali.labels)
+
+    def test_reference_pairing_shift_vs_aligned(self):
+        # dist > seq_len*tau: the reference filter drops the ts ladder's
+        # near-quench head and re-pairs by tail truncation, so the video-ts
+        # offset drifts (reference src/dataset.py:639-652 — latent in the
+        # reference's own sweeps, which all use dist <= 20 < seq_len*tau=84,
+        # exp/exp_multi.sh); 'aligned' keeps the walk's pairing by dropping
+        # the offending entries as PAIRS
+        times, tftsrt, tipminf, fs, ft = self._setup()
+        kw = dict(n_frames=400, seq_len=8, dist=30, dt=0.01, tau=1)
+        ref = W.multimodal_windows(1, times, tftsrt, tipminf, fs, ft, **kw)
+        ali = W.multimodal_windows(1, times, tftsrt, tipminf, fs, ft,
+                                   pair_mode="aligned", **kw)
+        # the quirk: reference offsets drift across the window list
+        ref_off = ref.video_starts - ref.ts_starts
+        assert ref_off.min() != ref_off.max()
+        # aligned: constant offset (the walk pairs index-for-index) ...
+        ali_off = ali.video_starts - ali.ts_starts
+        assert ali_off.min() == ali_off.max()
+        # ... and no 0D anchor crosses t_disrupt
+        t_disrupt = tipminf - 30 * 0.01
+        assert float(times[ali.ts_starts].max()) <= t_disrupt
+        # aligned drops the head pairs whose ts anchor overshoots, nothing else
+        assert len(ali) <= len(ref)
+        assert (ali.labels == 0).sum() >= 1  # disruptive windows survive
+
+    def test_pair_mode_rejects_unknown(self):
+        times, tftsrt, tipminf, fs, ft = self._setup()
+        with np.testing.assert_raises(ValueError):
+            W.multimodal_windows(1, times, tftsrt, tipminf, fs, ft,
+                                 n_frames=400, seq_len=8, dist=30, dt=0.01,
+                                 tau=1, pair_mode="bogus")
+
     def test_ts_window_tau_subsample(self):
         data = np.arange(100, dtype=np.float32).reshape(100, 1)
         # reference: .loc[s+1 : s+L*tau].values[::tau]
