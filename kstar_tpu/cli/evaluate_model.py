@@ -147,6 +147,11 @@ def main(argv=None):
         dt = DT_MULTI if not args.synthetic else 4.0 / 210.0
         disrupt_df, ts_df, store = load_data(args, need_video=True, dt=dt)
         shots = sorted(store.arrays.keys())
+        # strip non-disruptive shots BEFORE splitting, exactly as the trainer
+        # does — otherwise --synthetic_normal > 0 shifts the split and this
+        # reload evaluates a different test population than training saw
+        from .common import split_normal_shots
+        shots, _ = split_normal_shots(disrupt_df, shots)
         train_s, valid_s, test_s = random_split_shots(shots, test_shot, seed=42)
 
         scaler = Scaler(args.scaler)
@@ -216,6 +221,8 @@ def main(argv=None):
     test_shot = None if args.synthetic else args.test_shot_num
     disrupt_df, ts_df, store = load_data(args, need_video=True)
     shots = sorted(store.arrays.keys())
+    from .common import split_normal_shots
+    shots, _ = split_normal_shots(disrupt_df, shots)  # match train_vision's split
     train_s, valid_s, test_s = split_shots(shots, test_shot)
 
     # reconstruct the vision config from the mirrored args

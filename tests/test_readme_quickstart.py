@@ -13,7 +13,11 @@ def test_multimodal_eval_reload(tmp_path):
     training-run test metrics from the reloaded checkpoint."""
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    hparams = ["--synthetic", "--batch_size", "8", "--seq_len", "10",
+    # --synthetic_normal pins the split-shift regression: the reload must
+    # strip non-disruptive shots BEFORE splitting exactly as the trainer
+    # does, or it evaluates a different test population than training saw.
+    hparams = ["--synthetic", "--synthetic_normal", "2",
+               "--batch_size", "8", "--seq_len", "10",
                "--dim", "16", "--depth", "1", "--n_heads", "2", "--d_head", "8",
                "--scale_dim", "2", "--image_size", "64", "--feature_dims", "16",
                "--ts_layers", "1", "--ts_heads", "2", "--dim_feedforward", "32",
@@ -43,7 +47,7 @@ def test_vision_eval_reload(tmp_path):
     new train-only flag — --norm_dtype — was read off the eval namespace)."""
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    hparams = ["--synthetic", "--batch_size", "8",
+    hparams = ["--synthetic", "--synthetic_normal", "2", "--batch_size", "8",
                "--dim", "16", "--depth", "1", "--n_heads", "2", "--d_head", "8",
                "--scale_dim", "2", "--image_size", "64",
                "--weight_dir", str(tmp_path / "w"), "--save_dir", str(tmp_path / "r")]
