@@ -8,9 +8,13 @@ index, so the `index % 2 == 0` SE gate is always true — replicated here),
 and the slow/fast channel arithmetic m=16, slow inplanes (m + m/alpha),
 lateral-concat growth after each stage (reference :263).
 
-SubBatchNorm3d (multigrid training) is intentionally not rebuilt: the
-reference only instantiates it when base_bn_splits is not None, and every
-entry path passes base_bn_splits=None (reference src/models/slowfast.py:107-108).
+SubBatchNorm3d (multigrid training) is rebuilt in subbn.py and wired here via
+``bn_splits``: when set, bn1/bn2/bn3 become SubBatchNorm while the shortcut
+projection and the stem keep plain BatchNorm — exactly the reference's split
+(src/models/resnet.py:129-141 swap only the block BNs; the downsample at
+:248-252 and layer0 at :220-225 stay nn.BatchNorm3d). Every reference entry
+path passes base_bn_splits=None (src/models/slowfast.py:108-109), so the
+default here is None too.
 
 TPU-first: channels-last NDHWC, bf16 compute / fp32 BN.
 """
@@ -23,6 +27,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .common import act_relu
+from .subbn import SubBatchNorm
 
 Dtype = Any
 EXPANSION = 4
@@ -47,6 +52,15 @@ class Bottleneck3D(nn.Module):
     head_conv: int = 1
     has_shortcut_proj: bool = False
     dtype: Dtype = jnp.float32
+    bn_splits: Optional[int] = None
+
+    def _bn(self, out, name, train):
+        """Block BN: SubBatchNorm when bn_splits is set (reference
+        src/models/resnet.py:129-141), else plain BatchNorm."""
+        if self.bn_splits:
+            return SubBatchNorm(num_splits=self.bn_splits, name=name)(out, train)
+        return nn.BatchNorm(use_running_average=not train, dtype=jnp.float32,
+                            name=name)(out)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -59,13 +73,13 @@ class Bottleneck3D(nn.Module):
         else:
             out = nn.Conv(self.planes, (1, 1, 1), use_bias=False,
                           dtype=self.dtype, name="conv1")(x)
-        out = nn.BatchNorm(use_running_average=ra, dtype=jnp.float32, name="bn1")(out)
+        out = self._bn(out, "bn1", train)
         out = act_relu(out).astype(self.dtype)
 
         out = nn.Conv(self.planes, (1, 3, 3), strides=(1, self.stride, self.stride),
                       padding=[(0, 0), (1, 1), (1, 1)], use_bias=False,
                       dtype=self.dtype, name="conv2")(out)
-        out = nn.BatchNorm(use_running_average=ra, dtype=jnp.float32, name="bn2")(out)
+        out = self._bn(out, "bn2", train)
         out = act_relu(out).astype(self.dtype)
 
         # squeeze-excite (applied on every block, see module docstring)
@@ -81,7 +95,7 @@ class Bottleneck3D(nn.Module):
 
         out = nn.Conv(self.planes * EXPANSION, (1, 1, 1), use_bias=False,
                       dtype=self.dtype, name="conv3")(out)
-        out = nn.BatchNorm(use_running_average=ra, dtype=jnp.float32, name="bn3")(out)
+        out = self._bn(out, "bn3", train)
 
         if self.has_shortcut_proj:
             residual = nn.Conv(self.planes * EXPANSION, (1, 1, 1),
@@ -101,15 +115,17 @@ class ResStage(nn.Module):
     stride: int = 1
     head_conv: int = 1
     dtype: Dtype = jnp.float32
+    bn_splits: Optional[int] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         needs_proj = self.stride != 1 or x.shape[-1] != self.planes * EXPANSION
         x = Bottleneck3D(self.planes, self.stride, self.head_conv,
-                         needs_proj, self.dtype, name="block_0")(x, train)
+                         needs_proj, self.dtype, self.bn_splits,
+                         name="block_0")(x, train)
         for i in range(1, self.blocks):
             x = Bottleneck3D(self.planes, 1, self.head_conv, False,
-                             self.dtype, name=f"block_{i}")(x, train)
+                             self.dtype, self.bn_splits, name=f"block_{i}")(x, train)
         return x
 
 

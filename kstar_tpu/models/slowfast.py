@@ -18,7 +18,7 @@ temporal subsampling is a strided slice fused into the first conv's input.
 
 from __future__ import annotations
 
-from typing import Any, List, Sequence, Tuple
+from typing import Any, List, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -34,6 +34,7 @@ class FastPath(nn.Module):
     alpha: int = 4
     m: int = 16
     dtype: Dtype = jnp.float32
+    bn_splits: Optional[int] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
@@ -48,13 +49,13 @@ class FastPath(nn.Module):
         laterals: List[jnp.ndarray] = []
         x = Stem3D(m // a, self.dtype, name="stem")(x, train)
         laterals.append(lateral(x, "l_stem"))
-        x = ResStage(m // a, self.layers[0], 1, 3, self.dtype, name="stage1")(x, train)
+        x = ResStage(m // a, self.layers[0], 1, 3, self.dtype, self.bn_splits, name="stage1")(x, train)
         laterals.append(lateral(x, "l_stage1"))
-        x = ResStage(2 * m // a, self.layers[1], 2, 3, self.dtype, name="stage2")(x, train)
+        x = ResStage(2 * m // a, self.layers[1], 2, 3, self.dtype, self.bn_splits, name="stage2")(x, train)
         laterals.append(lateral(x, "l_stage2"))
-        x = ResStage(4 * m // a, self.layers[2], 2, 3, self.dtype, name="stage3")(x, train)
+        x = ResStage(4 * m // a, self.layers[2], 2, 3, self.dtype, self.bn_splits, name="stage3")(x, train)
         laterals.append(lateral(x, "l_stage3"))
-        x = ResStage(8 * m // a, self.layers[3], 2, 3, self.dtype, name="stage4")(x, train)
+        x = ResStage(8 * m // a, self.layers[3], 2, 3, self.dtype, self.bn_splits, name="stage4")(x, train)
         x = x.mean(axis=(1, 2, 3))
         return x, laterals
 
@@ -64,19 +65,20 @@ class SlowPath(nn.Module):
     alpha: int = 4
     m: int = 16
     dtype: Dtype = jnp.float32
+    bn_splits: Optional[int] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, laterals: List[jnp.ndarray], train: bool = False):
         m = self.m
         x = Stem3D(m, self.dtype, name="stem")(x, train)
         x = jnp.concatenate([x, laterals[0]], axis=-1)
-        x = ResStage(m, self.layers[0], 1, 1, self.dtype, name="stage1")(x, train)
+        x = ResStage(m, self.layers[0], 1, 1, self.dtype, self.bn_splits, name="stage1")(x, train)
         x = jnp.concatenate([x, laterals[1]], axis=-1)
-        x = ResStage(2 * m, self.layers[1], 2, 1, self.dtype, name="stage2")(x, train)
+        x = ResStage(2 * m, self.layers[1], 2, 1, self.dtype, self.bn_splits, name="stage2")(x, train)
         x = jnp.concatenate([x, laterals[2]], axis=-1)
-        x = ResStage(4 * m, self.layers[2], 2, 3, self.dtype, name="stage3")(x, train)
+        x = ResStage(4 * m, self.layers[2], 2, 3, self.dtype, self.bn_splits, name="stage3")(x, train)
         x = jnp.concatenate([x, laterals[3]], axis=-1)
-        x = ResStage(8 * m, self.layers[3], 2, 3, self.dtype, name="stage4")(x, train)
+        x = ResStage(8 * m, self.layers[3], 2, 3, self.dtype, self.bn_splits, name="stage4")(x, train)
         return x.mean(axis=(1, 2, 3))
 
 
@@ -88,6 +90,7 @@ class SlowFastEncoder(nn.Module):
     tau_fast: int = 1
     m: int = 16
     dtype: Dtype = jnp.float32
+    bn_splits: Optional[int] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -96,9 +99,11 @@ class SlowFastEncoder(nn.Module):
         x_slow = x[:, :: self.alpha * self.tau_fast]
         x_fast = x[:, :: self.tau_fast]
         h_fast, laterals = FastPath(tuple(self.layers), self.alpha, self.m,
-                                    self.dtype, name="fast")(x_fast, train)
+                                    self.dtype, self.bn_splits,
+                                    name="fast")(x_fast, train)
         h_slow = SlowPath(tuple(self.layers), self.alpha, self.m,
-                          self.dtype, name="slow")(x_slow, laterals, train)
+                          self.dtype, self.bn_splits,
+                          name="slow")(x_slow, laterals, train)
         return jnp.concatenate([h_slow, h_fast], axis=-1).astype(jnp.float32)
 
 
@@ -113,10 +118,12 @@ class SlowFast(nn.Module):
     in_channels: int = 3
     base_width: int = 16
     dtype: Dtype = jnp.float32
+    base_bn_splits: Optional[int] = None
 
     def setup(self):
         self.encoder = SlowFastEncoder(tuple(self.layers), self.alpha, self.tau_fast,
-                                       self.base_width, self.dtype)
+                                       self.base_width, self.dtype,
+                                       self.base_bn_splits)
         out_dim = 8 * self.base_width * EXPANSION + 8 * self.base_width // self.alpha * EXPANSION
         self.head = MLPHead(out_dim // 2, self.n_classes, norm="batch", act="elu",
                             dtype=jnp.float32)
