@@ -60,6 +60,9 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["float32", "bfloat16"],
                    help="match the training run's ViViT LN/softmax dtype")
     p.add_argument("--alpha", type=float, default=0.01)
+    p.add_argument("--bn_splits", type=int, default=None,
+                   help="mirror of train_vision --bn_splits (SlowFast "
+                        "SubBatchNorm); must match the trained checkpoint")
     return p
 
 
@@ -228,6 +231,7 @@ def main(argv=None):
     # reconstruct the vision config from the mirrored args
     ns = argparse.Namespace(**{**vars(args), "tau_alpha": 4, "tau_fast": 1,
                                "layer_sizes": [1, 2, 2, 1],
+                               "bn_splits": getattr(args, "bn_splits", None),
                                "embedd_dropout": args.dropout})
     cfg, seq_len = vision_model_config(ns)
     dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32

@@ -58,6 +58,10 @@ def build_parser() -> argparse.ArgumentParser:
     # SlowFast (reference :117-118)
     p.add_argument("--tau_alpha", type=int, default=4)
     p.add_argument("--tau_fast", type=int, default=1)
+    p.add_argument("--bn_splits", type=int, default=None,
+                   help="SubBatchNorm split count for SlowFast multigrid "
+                        "training (reference base_bn_splits; stats are "
+                        "aggregated before every eval epoch)")
     # R2Plus1D
     p.add_argument("--layer_sizes", type=int, nargs=4, default=[1, 2, 2, 1])
     p.add_argument("--skip_extras", action="store_true")
@@ -85,7 +89,8 @@ def model_config(args):
             norm_dtype=getattr(args, "norm_dtype", "float32")), seq_len
     if args.model == "SlowFast":
         return SlowFastConfig(image_size=args.image_size, n_frames=seq_len,
-                              alpha=args.tau_alpha, tau_fast=args.tau_fast), seq_len
+                              alpha=args.tau_alpha, tau_fast=args.tau_fast,
+                              base_bn_splits=getattr(args, "bn_splits", None)), seq_len
     return R2Plus1DConfig(image_size=args.image_size, n_frames=seq_len,
                           layer_sizes=tuple(args.layer_sizes), alpha=0.01), seq_len
 
@@ -169,6 +174,10 @@ def main(argv=None):
     sampler = ImbalancedSampler(train_ds.labels) if args.use_sampling else None
 
     if args.seeds and len(args.seeds) > 1:
+        if getattr(args, "bn_splits", None):
+            raise SystemExit("--bn_splits is not supported with the vmapped "
+                             "--seeds ensemble (stat aggregation is wired into "
+                             "the single-model fit driver)")
         # vmapped multi-seed ensemble (train/ensemble.py). Device memory
         # scales with len(seeds) per chip: fine for ViViT-class models at
         # B<=64, size R2Plus1D runs accordingly. With --dp the ensemble
@@ -196,10 +205,18 @@ def main(argv=None):
         state, hist = unstack_ensemble(states, best_i), hists[best_i]
         print(f"continuing with best seed {args.seeds[best_i]}")
     else:
+        eval_stats_fn = None
+        if getattr(args, "bn_splits", None):
+            if args.batch_size % args.bn_splits:
+                raise SystemExit(f"--batch_size {args.batch_size} must be "
+                                 f"divisible by --bn_splits {args.bn_splits}")
+            from ..models import aggregate_batch_stats
+            eval_stats_fn = aggregate_batch_stats
         state, hist = fit(model, state, train_ds, valid_ds, train_cfg, loss_cfg,
                           tag=tag, sampler=sampler, writer=writer,
                           put=put_raw, put_eval=put_raw, put_stack=put_raw_stack,
-                          pre_fn=pre_train, pre_fn_eval=pre_eval_fn)
+                          pre_fn=pre_train, pre_fn_eval=pre_eval_fn,
+                          eval_stats_fn=eval_stats_fn)
     plot_learning_curve(hist, os.path.join(args.save_dir, f"{tag}_learning_curve.png"))
 
     # evaluate: eval-mode preprocessing

@@ -196,6 +196,9 @@ class SlowFastConfig:
     tau_fast: int = 1
     in_channels: int = 3
     base_width: int = 16        # "m" in the reference backbone (src/models/resnet.py:208)
+    # SubBatchNorm split count for multigrid training; None = plain BN, the
+    # reference's effective default (src/models/slowfast.py:108-109)
+    base_bn_splits: Optional[int] = None
 
 
 @dataclass(frozen=True)

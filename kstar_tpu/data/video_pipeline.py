@@ -93,7 +93,10 @@ def convert_shots(
     if n_workers > 0:
         import multiprocessing as mp
 
-        with mp.Pool(n_workers) as pool:
+        # spawn, not fork: the parent process has JAX's thread pools live
+        # (the sitecustomize pre-imports jax), and fork() of a multithreaded
+        # process can deadlock the children. Workers only need cv2 + numpy.
+        with mp.get_context("spawn").Pool(n_workers) as pool:
             outs = pool.map(_convert_one, work)
         return dict(zip(shots, outs))
     return {s: _convert_one(w) for s, w in zip(shots, work)}

@@ -6,8 +6,8 @@ from .mlstm_fcn import MLSTMFCN
 from .r2plus1d import R2Plus1DClassifier, R2Plus1DNet
 from .resnet3d import Bottleneck3D, ResStage
 from .slowfast import SlowFast, SlowFastEncoder
-from .subbn import (SubBatchNorm, aggregate_subbn_stats,
-                    reset_bn_splits_long_cycle)
+from .subbn import (SubBatchNorm, aggregate_batch_stats,
+                    aggregate_subbn_stats, reset_bn_splits_long_cycle)
 from .ts_transformer import Transformer0D, TransformerEncoder0D
 from .vivit import ViViT, ViViTEncoder
 

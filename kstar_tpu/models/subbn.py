@@ -115,28 +115,38 @@ def _map_subbn(tree: Any, fn) -> Any:
     return tree
 
 
-def aggregate_subbn_stats(variables: Dict) -> Dict:
-    """Fold each SubBatchNorm's per-split running stats into its aggregated
-    eval stats (reference ``aggregate_stats``, src/models/resnet.py:52-61):
-    ``mean = split_means.mean(0)``;
-    ``var = split_vars.mean(0) + ((split_means - mean)**2).mean(0)``.
+def aggregate_batch_stats(batch_stats: Dict) -> Dict:
+    """Tree-level form of :func:`aggregate_subbn_stats`: folds each
+    SubBatchNorm's per-split running stats into its aggregated eval stats
+    (reference ``aggregate_stats``, src/models/resnet.py:52-61):
+    ``mean = split_means.mean(splits)``;
+    ``var = split_vars.mean(splits) + ((split_means - mean)**2).mean(splits)``.
 
-    Returns a new ``variables`` dict; call before any eval forward, exactly
-    where the reference calls ``aggregate_stats()`` on each module.
+    The split axis is ``-2`` so vmapped ensemble stats ``(seeds, s, C)``
+    aggregate per-seed.
+    """
+
+    def agg(node):
+        means, varis = node["split_mean"], node["split_var"]
+        mean = means.mean(axis=-2)
+        node["mean"] = mean
+        node["var"] = (varis.mean(axis=-2)
+                       + jnp.square(means - jnp.expand_dims(mean, -2)).mean(axis=-2))
+        return node
+
+    return _map_subbn(unfreeze(batch_stats), agg)
+
+
+def aggregate_subbn_stats(variables: Dict) -> Dict:
+    """Variables-level wrapper around :func:`aggregate_batch_stats`; call
+    before any eval forward, exactly where the reference calls
+    ``aggregate_stats()`` on each module.
     """
     variables = unfreeze(variables)
     if "batch_stats" not in variables:
         return variables
-
-    def agg(node):
-        means, varis = node["split_mean"], node["split_var"]
-        mean = means.mean(axis=0)
-        node["mean"] = mean
-        node["var"] = varis.mean(axis=0) + jnp.square(means - mean).mean(axis=0)
-        return node
-
     out = dict(variables)
-    out["batch_stats"] = _map_subbn(variables["batch_stats"], agg)
+    out["batch_stats"] = aggregate_batch_stats(variables["batch_stats"])
     return out
 
 

@@ -332,10 +332,17 @@ def fit(
     pre_fn=None,
     pre_fn_eval=None,
     put_stack=None,
+    eval_stats_fn=None,
 ) -> Tuple[TrainState, History]:
     """Epoch driver covering the reference's ``train`` and ``train_DRW``
     (src/train.py:147-274, :277-422): per-epoch train/valid, metric logging,
-    last/best checkpointing on valid macro-F1, early stopping, optional DRW."""
+    last/best checkpointing on valid macro-F1, early stopping, optional DRW.
+
+    ``eval_stats_fn(batch_stats) -> batch_stats`` runs after each train epoch
+    and PERSISTS into the state (so checkpoints carry it) — the SubBatchNorm
+    aggregate-before-eval contract (reference aggregate_stats,
+    src/models/resnet.py:52-61, which writes the aggregated stats into the
+    module in place)."""
     num_epoch = num_epoch or train_cfg.num_epoch
     train_step = make_train_step(model, loss_cfg, model_type, pre_fn=pre_fn)
     eval_step = make_eval_step(model, loss_cfg, model_type, pre_fn=pre_fn_eval)
@@ -364,6 +371,8 @@ def fit(
             train_step, state, train_ds, train_cfg.batch_size, rng,
             weight, m_list, gb_w, sampler=sampler, put=put,
             scan_step=scan_step, steps_per_dispatch=k, put_stack=put_stack)
+        if eval_stats_fn is not None:
+            state = state.replace(batch_stats=eval_stats_fn(state.batch_stats))
         # probs collected here feed the improvement figure below — the eval
         # step computes them either way, so this costs one host transfer,
         # not a second validation epoch

@@ -186,3 +186,35 @@ class TestBackboneIntegration:
                                  mutable=["batch_stats"])
         assert y.shape == (4, 2)
         assert np.isfinite(np.asarray(y)).all()
+
+
+class TestCLIRoundtrip:
+    def test_train_and_reload_with_bn_splits(self, tmp_path):
+        """SlowFast --bn_splits 2 trains via the CLI (aggregation before each
+        eval epoch persists into the checkpoint) and evaluate_model reloads
+        the SubBatchNorm variable tree with the mirrored flag."""
+        import os
+        import subprocess
+        import sys
+
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        hparams = ["--synthetic", "--synthetic_shots", "6",
+                   "--synthetic_frames", "64", "--batch_size", "8",
+                   "--image_size", "32", "--seq_len", "8",
+                   "--bn_splits", "2",
+                   "--weight_dir", str(tmp_path / "w"),
+                   "--save_dir", str(tmp_path / "r")]
+        r = subprocess.run(
+            [sys.executable, "-m", "kstar_tpu.cli.train_vision",
+             "--model", "SlowFast", "--num_epoch", "1", "--skip_extras",
+             *hparams],
+            cwd=root, env=env, capture_output=True, text=True, timeout=1200)
+        assert r.returncode == 0, r.stderr[-3000:]
+
+        r = subprocess.run(
+            [sys.executable, "-m", "kstar_tpu.cli.evaluate_model",
+             "--kind", "vision", "--model", "SlowFast", *hparams],
+            cwd=root, env=env, capture_output=True, text=True, timeout=1200)
+        assert r.returncode == 0, r.stderr[-3000:]
+        assert "macro-F1" in r.stdout
