@@ -232,3 +232,45 @@ def setup_dp(args, state):
         return put_batch(mesh, batch), put_batch(mesh, labels)
 
     return state, mesh, put
+
+
+def write_alarm_artifacts(curves, threshold, save_dir, tag):
+    """Score pre-swept shot curves and write ``{tag}_alarms.json``/``.csv``
+    and ``{tag}_threshold_tradeoff.csv``. One writer shared by the vision and
+    multimodal train CLIs and ``evaluate_model --alarms`` so every artifact
+    carries the same metric definitions (eval/alarms.py)."""
+    import json as _json
+
+    from ..eval import score_alarms, threshold_tradeoff_from_curves
+
+    res = score_alarms(curves, threshold)
+    print(f"alarm summary: {res['summary']}")
+    with open(os.path.join(save_dir, f"{tag}_alarms.json"), "w") as f:
+        _json.dump(res["summary"], f, indent=2)
+    res["per_shot"].to_csv(
+        os.path.join(save_dir, f"{tag}_alarms.csv"), index=False)
+
+    # operational trade-off curve: detection / warning / premature rate vs
+    # threshold — the library is swept ONCE by the caller; the trade-off
+    # just rescores the held curves per threshold
+    tradeoff = threshold_tradeoff_from_curves(curves)
+    tradeoff.to_csv(
+        os.path.join(save_dir, f"{tag}_threshold_tradeoff.csv"), index=False)
+    print(tradeoff.to_string(index=False))
+    return res
+
+
+def emit_alarm_artifacts(model, state, store, disrupt_df, sweep_shot_list,
+                         seq_len, dist, crop, batch_size, dtype, threshold,
+                         save_dir, tag):
+    """Vision path: sweep whole shots (test + normal populations) in one
+    dispatch group, then score + write via write_alarm_artifacts. Returns
+    the swept curves for reuse."""
+    from ..eval import sweep_prob_curves
+
+    curves = sweep_prob_curves(
+        model, state.params, state.batch_stats, store, disrupt_df,
+        sweep_shot_list, seq_len=seq_len, dist=dist, crop_size=crop,
+        batch_size=batch_size, compute_dtype=dtype)
+    write_alarm_artifacts(curves, threshold, save_dir, tag)
+    return curves

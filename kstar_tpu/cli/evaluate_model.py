@@ -63,6 +63,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bn_splits", type=int, default=None,
                    help="mirror of train_vision --bn_splits (SlowFast "
                         "SubBatchNorm); must match the trained checkpoint")
+    p.add_argument("--synthetic_dt", type=float, default=4.0 / 210.0,
+                   help="mirror of train_multimodal --synthetic_dt; must "
+                        "match training or the window ladders shift")
+    p.add_argument("--alarms", action="store_true",
+                   help="(--kind vision) also sweep the test + normal shots "
+                        "and regenerate the alarm artifacts "
+                        "({tag}_alarms.json/csv, {tag}_threshold_tradeoff"
+                        ".csv) from the reloaded checkpoint, no retraining")
     return p
 
 
@@ -147,14 +155,14 @@ def main(argv=None):
 
         cols = Schema.INPUT_FEATURES
         test_shot = None if args.synthetic else args.test_shot_num
-        dt = DT_MULTI if not args.synthetic else 4.0 / 210.0
+        dt = DT_MULTI if not args.synthetic else args.synthetic_dt
         disrupt_df, ts_df, store = load_data(args, need_video=True, dt=dt)
         shots = sorted(store.arrays.keys())
         # strip non-disruptive shots BEFORE splitting, exactly as the trainer
         # does — otherwise --synthetic_normal > 0 shifts the split and this
         # reload evaluates a different test population than training saw
         from .common import split_normal_shots
-        shots, _ = split_normal_shots(disrupt_df, shots)
+        shots, normal_s = split_normal_shots(disrupt_df, shots)
         train_s, valid_s, test_s = random_split_shots(shots, test_shot, seed=42)
 
         scaler = Scaler(args.scaler)
@@ -204,6 +212,18 @@ def main(argv=None):
         with open(os.path.join(args.save_dir, f"{tag}_eval_report.txt"), "w") as f:
             f.write(format_report(results))
         print(f"test macro-F1 {results['macro_f1']:.4f} | ROC-AUC {results['roc_auc']:.4f}")
+
+        if args.alarms:
+            from ..eval import sweep_multimodal_prob_curves
+            from .common import write_alarm_artifacts
+
+            curves = sweep_multimodal_prob_curves(
+                model, state.params, state.batch_stats, store, ts_df,
+                disrupt_df, list(test_s) + list(normal_s), cols, scaler,
+                seq_len=args.seq_len, dist=args.dist, dt=dt, tau=args.tau,
+                crop_size=crop, batch_size=args.batch_size,
+                compute_dtype=dtype)
+            write_alarm_artifacts(curves, args.threshold, args.save_dir, tag)
         return results
 
     # --- vision -------------------------------------------------------------
@@ -225,7 +245,7 @@ def main(argv=None):
     disrupt_df, ts_df, store = load_data(args, need_video=True)
     shots = sorted(store.arrays.keys())
     from .common import split_normal_shots
-    shots, _ = split_normal_shots(disrupt_df, shots)  # match train_vision's split
+    shots, normal_s = split_normal_shots(disrupt_df, shots)  # match train_vision's split
     train_s, valid_s, test_s = split_shots(shots, test_shot)
 
     # reconstruct the vision config from the mirrored args
@@ -256,6 +276,15 @@ def main(argv=None):
     with open(os.path.join(args.save_dir, f"{tag}_eval_report.txt"), "w") as f:
         f.write(format_report(results))
     print(f"test macro-F1 {results['macro_f1']:.4f} | ROC-AUC {results['roc_auc']:.4f}")
+
+    if args.alarms:
+        from .common import emit_alarm_artifacts
+
+        emit_alarm_artifacts(
+            model, state, store, disrupt_df, list(test_s) + list(normal_s),
+            seq_len=seq_len, dist=args.dist, crop=crop,
+            batch_size=args.batch_size, dtype=dtype,
+            threshold=args.threshold, save_dir=args.save_dir, tag=tag)
     return results
 
 

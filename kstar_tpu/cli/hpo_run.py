@@ -120,8 +120,7 @@ def main(argv=None):
                 f"seq_len={args.seq_len} + dist={args.dist} (each window "
                 f"needs seq_len + dist rows before the quench; raise "
                 f"--synthetic_frames or lower --dist)")
-        import numpy as _np
-        if len(_np.unique(_np.asarray(ds.labels))) < 2:
+        if len(np.unique(np.asarray(ds.labels))) < 2:
             raise SystemExit(
                 f"{name} split is single-class: every window in the search "
                 f"objective would score a constant F1 (0.5) and no search "

@@ -207,9 +207,9 @@ def main(argv=None):
         # alarm artifacts, for the fusion path)
         curves = []
         try:
-            import json as _json
+            from ..eval import sweep_multimodal_prob_curves
+            from .common import write_alarm_artifacts
 
-            from ..eval import score_alarms, sweep_multimodal_prob_curves
             # normal shots join the sweep as the false-alarm population
             curves = sweep_multimodal_prob_curves(
                 model, state.params, state.batch_stats, store, ts_df,
@@ -217,19 +217,7 @@ def main(argv=None):
                 seq_len=args.seq_len,
                 dist=args.dist, dt=dt, tau=args.tau, crop_size=crop,
                 batch_size=args.batch_size, compute_dtype=dtype)
-            res = score_alarms(curves, args.threshold)
-            print(f"alarm summary: {res['summary']}")
-            with open(os.path.join(args.save_dir, f"{tag}_alarms.json"), "w") as f:
-                _json.dump(res["summary"], f, indent=2)
-            res["per_shot"].to_csv(
-                os.path.join(args.save_dir, f"{tag}_alarms.csv"), index=False)
-
-            from ..eval import threshold_tradeoff_from_curves
-            tradeoff = threshold_tradeoff_from_curves(curves)
-            tradeoff.to_csv(
-                os.path.join(args.save_dir, f"{tag}_threshold_tradeoff.csv"),
-                index=False)
-            print(tradeoff.to_string(index=False))
+            write_alarm_artifacts(curves, args.threshold, args.save_dir, tag)
         except Exception as e:
             print(f"alarm evaluation skipped: {e}")
 

@@ -239,32 +239,16 @@ def main(argv=None):
         # shot-level alarm scoring over the test shots
         curves = []
         try:
-            import json as _json
+            from .common import emit_alarm_artifacts
 
-            from ..eval import (score_alarms, sweep_prob_curves,
-                                threshold_tradeoff_from_curves)
             # normal (non-disruptive) shots join the sweep as the
             # false-alarm population (round-3 verdict #4)
-            curves = sweep_prob_curves(
-                model, state.params, state.batch_stats, store, disrupt_df,
+            curves = emit_alarm_artifacts(
+                model, state, store, disrupt_df,
                 list(test_s) + list(normal_s), seq_len=seq_len,
-                dist=args.dist, crop_size=crop,
-                batch_size=args.batch_size, compute_dtype=dtype)
-            res = score_alarms(curves, args.threshold)
-            print(f"alarm summary: {res['summary']}")
-            with open(os.path.join(args.save_dir, f"{tag}_alarms.json"), "w") as f:
-                _json.dump(res["summary"], f, indent=2)
-            res["per_shot"].to_csv(
-                os.path.join(args.save_dir, f"{tag}_alarms.csv"), index=False)
-
-            # operational trade-off curve: detection / warning / premature
-            # rate vs threshold — the library is swept ONCE above; the
-            # trade-off just rescores the held curves per threshold
-            tradeoff = threshold_tradeoff_from_curves(curves)
-            tradeoff.to_csv(
-                os.path.join(args.save_dir, f"{tag}_threshold_tradeoff.csv"),
-                index=False)
-            print(tradeoff.to_string(index=False))
+                dist=args.dist, crop=crop, batch_size=args.batch_size,
+                dtype=dtype, threshold=args.threshold,
+                save_dir=args.save_dir, tag=tag)
         except Exception as e:
             print(f"alarm evaluation skipped: {e}")
 

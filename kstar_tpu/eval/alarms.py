@@ -15,9 +15,12 @@ batched engine (infer/continuous.py) and aggregates:
   * warning time — tipminf - t_alarm (the reference's warning-time notion,
                    utility.py:843-853), with p50/p90 across detected shots
   * false alarm  — on a NON-disruptive shot (is_disrupt False / NaN
-                   tipminf), ANY threshold crossing; summary reports the
+                   tipminf), any threshold crossing the alarm system would
+                   act on, i.e. at or after t_min (the same startup blanking
+                   alarm_times applies everywhere); summary reports the
                    per-shot false-alarm rate (FPR) and the mean fraction of
-                   credible-window time spent above threshold
+                   post-t_min time spent above threshold — both statistics
+                   share the one t_min gate
 
 **Latching semantics.** The headline ``detected`` figure latches on the
 FIRST threshold crossing of the shot: if that crossing is premature, the
@@ -104,9 +107,10 @@ def score_alarms(curves, threshold: float = 0.5, t_min: float = 1.0) -> Dict:
     LATCHING — see module docstring — with ``detected_recoverable`` as the
     non-latched companion). Non-disruptive shots (``is_disrupt`` False or
     NaN tipminf in the shot-log row) contribute to the false-alarm
-    statistics: any crossing at all is a false alarm, and
-    ``alarm_time_frac`` is the fraction of credible-window samples above
-    threshold."""
+    statistics: a crossing at or after ``t_min`` is a false alarm, and
+    ``alarm_time_frac`` is the fraction of post-``t_min`` samples above
+    threshold — the same gate for both, so false_alarm_rate and
+    false_alarm_time_frac describe one population."""
     rows: List[Dict] = []
     for shot, r, time_x, probs in curves:
         t_cq = float(r.tipminf)
@@ -131,10 +135,11 @@ def score_alarms(curves, threshold: float = 0.5, t_min: float = 1.0) -> Dict:
         else:
             detected = detected_rec = premature = False
             w = None
+            # same t_min gate as t_alarm/false_alarm: one operational window
             false_alarm = t_alarm is not None
-            credible = time_x >= tftsrt + t_min
-            alarm_frac = (float((probs[credible] > threshold).mean())
-                          if credible.any() else 0.0)
+            armed = time_x >= t_min
+            alarm_frac = (float((probs[armed] > threshold).mean())
+                          if armed.any() else 0.0)
         rows.append({
             "shot": int(shot),
             "is_disrupt": is_disrupt,

@@ -167,7 +167,9 @@ def run_asha(
     if search == "tpe":
         from .tpe import TPESampler
 
-        n_startup = min(tpe_startup or max(n_trials // 2, 4), n_trials)
+        default_startup = max(n_trials // 2, 4)
+        n_startup = min(tpe_startup if tpe_startup is not None
+                        else default_startup, n_trials)
         trials = [Trial(i, sample_config(space, rng))
                   for i in range(n_startup)]
         run_jobs([(t, first_rung) for t in trials])

@@ -52,8 +52,15 @@ class _ParzenMixture:
         self.mus = list(values)
         n = len(self.mus)
         # simplified Parzen bandwidth: shrink with observation count so the
-        # mixture sharpens as evidence accumulates, floored to stay proper
+        # mixture sharpens as evidence accumulates, floored to stay proper.
+        # A zero-width domain (a pinned hyperparameter like uniform(x, x))
+        # degenerates to a point mass: keep sigma/width positive so logpdf
+        # and sample stay defined and the pinned value is always proposed.
         width = hi - lo
+        self.degenerate = width <= 0.0
+        if self.degenerate:
+            width = max(abs(hi), 1.0) * 1e-9
+            self.hi = self.lo + width
         self.sigma = max(width / max(math.sqrt(n + 1), 1.0), 1e-3 * width)
         self.n_comp = n + 1                     # + uniform prior component
 

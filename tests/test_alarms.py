@@ -301,6 +301,33 @@ class TestFalseAlarmMetrics:
         assert (np.diff(df.false_alarm_rate.values) <= 1e-9).all()
 
 
+    def test_false_alarm_and_time_frac_share_t_min_gate(self):
+        """Review fix: a normal shot firing only between t_min and
+        tftsrt+t_min must count in BOTH false_alarm and alarm_time_frac
+        (one operational window, gated at t_min)."""
+        from kstar_tpu.eval.alarms import score_alarms
+
+        class NormRow:
+            tipminf = float("nan")
+            tftsrt = 0.6
+            is_disrupt = False
+
+        time_x = np.arange(0, 6, 0.01)
+        # fires ONLY inside [1.0, 1.6): after t_min, before tftsrt+t_min
+        early = np.where((time_x >= 1.1) & (time_x < 1.5), 0.9, 0.0)
+        res = score_alarms([(1, NormRow(), time_x, early)],
+                           threshold=0.5, t_min=1.0)
+        s = res["summary"]
+        assert s["false_alarms"] == 1
+        assert s["false_alarm_time_frac"] > 0.0  # gate consistency
+        # and a crossing before t_min is blanked from both
+        pre = np.where(time_x < 0.9, 0.9, 0.0)
+        res2 = score_alarms([(1, NormRow(), time_x, pre)],
+                            threshold=0.5, t_min=1.0)
+        assert res2["summary"]["false_alarms"] == 0
+        assert res2["summary"]["false_alarm_time_frac"] == 0.0
+
+
 class TestNormalShotFixture:
     def test_normal_shot_metadata_and_profile(self):
         from kstar_tpu.data import synthetic
@@ -395,3 +422,4 @@ class TestDifficultyFixture:
                                 difficulty=0.0)
         np.testing.assert_array_equal(a.frames, b.frames)
         np.testing.assert_array_equal(a.ts.values, b.ts.values)
+

@@ -284,6 +284,25 @@ class TestTPESampler:
         assert set(c) == {"lr", "u", "n", "c"}
 
 
+    def test_degenerate_pinned_domain(self):
+        """uniform(x, x) / loguniform(x, x) pin a hyperparameter; the
+        sampler must keep proposing the pinned value instead of crashing
+        on the zero-width Parzen domain (review fix)."""
+        from kstar_tpu.train.tpe import TPESampler
+
+        rng = np.random.default_rng(0)
+        space = {"lr": loguniform(1e-3, 1e-3), "u": uniform(0.3, 0.3),
+                 "c": choice(["only"])}
+        s = TPESampler(space)
+        for _ in range(6):
+            s.observe(sample_config(space, rng), float(rng.uniform()))
+        for _ in range(10):
+            c = s.sample(rng)
+            assert abs(c["lr"] - 1e-3) < 1e-3 * 1e-6
+            assert abs(c["u"] - 0.3) < 1e-6
+            assert c["c"] == "only"
+
+
 class TestTPEInASHA:
     def _trainable(self, counter):
         def trainable(config, n_epochs, state):
@@ -390,3 +409,4 @@ class TestParallelASHA:
             assert len({str(d) for d in seen_devices if d is not None}) > 1
         # halving demonstrated: at least two distinct rung budgets
         assert len({t.epochs_done for t in trials_p}) >= 2
+
