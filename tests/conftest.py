@@ -8,6 +8,15 @@ jax.config.update before any backend is initialized.
 
 import os
 
+# Persistent XLA compile cache shared by in-process tests AND the CLI
+# subprocess tests (they inherit os.environ): the suite compiles the same
+# tiny-model programs in every subprocess, and warm cache hits cut a
+# multi-minute CLI test to seconds on reruns. Keyed by program hash, so a
+# code change that alters a traced program simply misses and recompiles.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.jax_cache_cpu_tests"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
 if os.environ.get("KSTAR_REAL_TPU") == "1":
     # escape hatch for the hardware-gated tests (e.g. the 210 fps
     # streaming-budget assertion): run against the real chip instead of
