@@ -42,6 +42,15 @@ def add_common_args(p: argparse.ArgumentParser, batch_size: int = 64) -> None:
                         "windows, swept by the alarm metrics as the "
                         "false-alarm population (eval/alarms.py)")
     p.add_argument("--synthetic_frames", type=int, default=256)
+    p.add_argument("--train_with_normal", action="store_true",
+                   help="include NON-disruptive shots in training as "
+                        "negative-only windows (no reference counterpart): "
+                        "normals are split train/valid/test like disruptive "
+                        "shots, train/valid normals contribute all-normal "
+                        "windows (ramp-down included), and ONLY the held-out "
+                        "test normals feed the false-alarm metrics — a model "
+                        "that never sees ramp-down labeled normal false-"
+                        "alarms there (PERFORMANCE.md)")
     p.add_argument("--random_seed", type=int, default=42)
     p.add_argument("--save_dir", type=str, default="./results")
     p.add_argument("--weight_dir", type=str, default="./weights")
@@ -274,3 +283,18 @@ def emit_alarm_artifacts(model, state, store, disrupt_df, sweep_shot_list,
         batch_size=batch_size, compute_dtype=dtype)
     write_alarm_artifacts(curves, threshold, save_dir, tag)
     return curves
+
+
+def resolve_normal_splits(args, normal_s, splitter):
+    """--train_with_normal plumbing shared by the train CLIs and the
+    evaluate_model reload: split the normal shots with the SAME splitter as
+    the disruptive shots (so reloads reproduce the partition), and keep the
+    false-alarm population disjoint from anything trained on.
+
+    Returns (train_n, valid_n, test_n, sweep_normals, include_normal):
+    without the flag every normal shot stays eval-only (the round-3
+    behavior); with it, only the held-out test normals are swept."""
+    if getattr(args, "train_with_normal", False) and normal_s:
+        train_n, valid_n, test_n = splitter(normal_s)
+        return train_n, valid_n, test_n, test_n, True
+    return [], [], [], list(normal_s), False

@@ -161,16 +161,20 @@ def main(argv=None):
         # strip non-disruptive shots BEFORE splitting, exactly as the trainer
         # does — otherwise --synthetic_normal > 0 shifts the split and this
         # reload evaluates a different test population than training saw
-        from .common import split_normal_shots
+        from .common import resolve_normal_splits, split_normal_shots
         shots, normal_s = split_normal_shots(disrupt_df, shots)
         train_s, valid_s, test_s = random_split_shots(shots, test_shot, seed=42)
+        train_n, _, test_n, sweep_normals, inc_normal = resolve_normal_splits(
+            args, normal_s, lambda ss: random_split_shots(ss, None, seed=42))
 
         scaler = Scaler(args.scaler)
-        scaler.fit(ts_df[ts_df.shot.isin(train_s)][cols].values)
-        test_ds = MultiModalDataset(store, ts_df, disrupt_df, cols, test_s,
+        scaler.fit(ts_df[ts_df.shot.isin(list(train_s) + train_n)][cols].values)
+        test_ds = MultiModalDataset(store, ts_df, disrupt_df, cols,
+                                    list(test_s) + test_n,
                                     seq_len=args.seq_len, dist=args.dist,
                                     dt=dt, tau=args.tau, scaler=scaler,
-                                    pair_mode=args.pair_mode)
+                                    pair_mode=args.pair_mode,
+                                    include_normal=inc_normal)
 
         dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
         crop = min(args.image_size, store.arrays[shots[0]].shape[1])
@@ -219,7 +223,7 @@ def main(argv=None):
 
             curves = sweep_multimodal_prob_curves(
                 model, state.params, state.batch_stats, store, ts_df,
-                disrupt_df, list(test_s) + list(normal_s), cols, scaler,
+                disrupt_df, list(test_s) + list(sweep_normals), cols, scaler,
                 seq_len=args.seq_len, dist=args.dist, dt=dt, tau=args.tau,
                 crop_size=crop, batch_size=args.batch_size,
                 compute_dtype=dtype)
@@ -244,9 +248,11 @@ def main(argv=None):
     test_shot = None if args.synthetic else args.test_shot_num
     disrupt_df, ts_df, store = load_data(args, need_video=True)
     shots = sorted(store.arrays.keys())
-    from .common import split_normal_shots
+    from .common import resolve_normal_splits, split_normal_shots
     shots, normal_s = split_normal_shots(disrupt_df, shots)  # match train_vision's split
     train_s, valid_s, test_s = split_shots(shots, test_shot)
+    _, _, test_n, sweep_normals, inc_normal = resolve_normal_splits(
+        args, normal_s, lambda ss: split_shots(ss, None))
 
     # reconstruct the vision config from the mirrored args
     ns = argparse.Namespace(**{**vars(args), "tau_alpha": 4, "tau_fast": 1,
@@ -259,7 +265,9 @@ def main(argv=None):
 
     crop = min(args.image_size, store.arrays[shots[0]].shape[1])
     put_eval = DevicePreprocessor(crop, AugmentConfig(), train=False, out_dtype=dtype)
-    ds = VideoDataset(store, disrupt_df, test_s, seq_len=seq_len, dist=args.dist)
+    ds = VideoDataset(store, disrupt_df, list(test_s) + test_n,
+                      seq_len=seq_len, dist=args.dist,
+                      include_normal=inc_normal)
     x0, _ = put_eval(ds.batch(np.arange(min(8, len(ds)))))
     state = create_train_state(model, x0, jax.random.key(0), optim_cfg)
     state = load_checkpoint(state, ckpt)
@@ -281,7 +289,7 @@ def main(argv=None):
         from .common import emit_alarm_artifacts
 
         emit_alarm_artifacts(
-            model, state, store, disrupt_df, list(test_s) + list(normal_s),
+            model, state, store, disrupt_df, list(test_s) + list(sweep_normals),
             seq_len=seq_len, dist=args.dist, crop=crop,
             batch_size=args.batch_size, dtype=dtype,
             threshold=args.threshold, save_dir=args.save_dir, tag=tag)

@@ -95,8 +95,12 @@ def main(argv=None):
     df_train, df_valid, df_test, scaler = prepare_0d_dataset(
         ts_df, cols, scaler=args.scaler, test_shot=test_shot)
 
+    # --train_with_normal: non-disruptive shots already land in the splits
+    # (prepare_0d_dataset partitions every shot in the table); the flag just
+    # turns their zero-window walks into negative-only windows
     mk = lambda df: TSDataset(df, disrupt_df, cols, seq_len=args.seq_len,
-                              dist=args.dist, dt=DT_0D, scaler=scaler)
+                              dist=args.dist, dt=DT_0D, scaler=scaler,
+                              include_normal=args.train_with_normal)
     train_ds, valid_ds, test_ds = mk(df_train), mk(df_valid), mk(df_test)
     print(f"datasets: train {len(train_ds)} valid {len(valid_ds)} test {len(test_ds)} "
           f"| class counts {train_ds.class_counts().tolist()}")

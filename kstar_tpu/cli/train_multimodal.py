@@ -90,16 +90,22 @@ def main(argv=None):
     shots, normal_s = split_normal_shots(disrupt_df, shots)
     # seeded random split (reference preparing_multi_data, utility.py:121-172)
     train_s, valid_s, test_s = random_split_shots(shots, test_shot, seed=42)
+    from .common import resolve_normal_splits
+    train_n, valid_n, test_n, sweep_normals, inc_normal = resolve_normal_splits(
+        args, normal_s, lambda ss: random_split_shots(ss, None, seed=42))
 
     scaler = Scaler(args.scaler)
-    df_train = ts_df[ts_df.shot.isin(train_s)]
+    df_train = ts_df[ts_df.shot.isin(list(train_s) + train_n)]
     scaler.fit(df_train[cols].values)
 
     mk = lambda ss: MultiModalDataset(store, ts_df, disrupt_df, cols, ss,
                                       seq_len=args.seq_len, dist=args.dist,
                                       dt=dt, tau=args.tau, scaler=scaler,
-                                      pair_mode=args.pair_mode)
-    train_ds, valid_ds, test_ds = mk(train_s), mk(valid_s), mk(test_s)
+                                      pair_mode=args.pair_mode,
+                                      include_normal=inc_normal)
+    train_ds, valid_ds, test_ds = (mk(list(train_s) + train_n),
+                                   mk(list(valid_s) + valid_n),
+                                   mk(list(test_s) + test_n))
     print(f"datasets: train {len(train_ds)} valid {len(valid_ds)} test {len(test_ds)} "
           f"| class counts {train_ds.class_counts().tolist()}")
 
@@ -210,10 +216,11 @@ def main(argv=None):
             from ..eval import sweep_multimodal_prob_curves
             from .common import write_alarm_artifacts
 
-            # normal shots join the sweep as the false-alarm population
+            # normal shots join the sweep as the false-alarm population;
+            # under --train_with_normal only the HELD-OUT test normals
             curves = sweep_multimodal_prob_curves(
                 model, state.params, state.batch_stats, store, ts_df,
-                disrupt_df, list(test_s) + list(normal_s), cols, scaler,
+                disrupt_df, list(test_s) + list(sweep_normals), cols, scaler,
                 seq_len=args.seq_len,
                 dist=args.dist, dt=dt, tau=args.tau, crop_size=crop,
                 batch_size=args.batch_size, compute_dtype=dtype)

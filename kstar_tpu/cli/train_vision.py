@@ -123,10 +123,16 @@ def main(argv=None):
     shots = sorted(store.arrays.keys())
     shots, normal_s = split_normal_shots(disrupt_df, shots)
     train_s, valid_s, test_s = split_shots(shots, test_shot)
+    from .common import resolve_normal_splits
+    train_n, valid_n, test_n, sweep_normals, inc_normal = resolve_normal_splits(
+        args, normal_s, lambda ss: split_shots(ss, None))
 
     cfg, seq_len = model_config(args)
-    mk = lambda ss: VideoDataset(store, disrupt_df, ss, seq_len=seq_len, dist=args.dist)
-    train_ds, valid_ds, test_ds = mk(train_s), mk(valid_s), mk(test_s)
+    mk = lambda ss: VideoDataset(store, disrupt_df, ss, seq_len=seq_len,
+                                 dist=args.dist, include_normal=inc_normal)
+    train_ds, valid_ds, test_ds = (mk(list(train_s) + train_n),
+                                   mk(list(valid_s) + valid_n),
+                                   mk(list(test_s) + test_n))
     print(f"datasets: train {len(train_ds)} valid {len(valid_ds)} test {len(test_ds)} "
           f"| class counts {train_ds.class_counts().tolist()}")
 
@@ -242,10 +248,11 @@ def main(argv=None):
             from .common import emit_alarm_artifacts
 
             # normal (non-disruptive) shots join the sweep as the
-            # false-alarm population (round-3 verdict #4)
+            # false-alarm population (round-3 verdict #4); under
+            # --train_with_normal only the HELD-OUT test normals are swept
             curves = emit_alarm_artifacts(
                 model, state, store, disrupt_df,
-                list(test_s) + list(normal_s), seq_len=seq_len,
+                list(test_s) + list(sweep_normals), seq_len=seq_len,
                 dist=args.dist, crop=crop, batch_size=args.batch_size,
                 dtype=dtype, threshold=args.threshold,
                 save_dir=args.save_dir, tag=tag)

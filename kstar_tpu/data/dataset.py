@@ -86,13 +86,25 @@ class _ShotTable:
         return len(self.times[shot])
 
 
+def _is_normal_row(row) -> bool:
+    """Non-disruptive shot per the shot log: explicit is_disrupt False, or a
+    NaN quench time."""
+    if hasattr(row, "is_disrupt") and not bool(row.is_disrupt):
+        return True
+    return not np.isfinite(float(row.tipminf))
+
+
 class TSDataset:
     """0D sliding-window dataset (reference DatasetFor0D, src/dataset.py:276-431).
 
-    Non-disruptive shots (NaN tipminf in the shot log) yield zero windows —
-    the variable-stride walk's NaN zone comparisons never match — mirroring
-    the reference, which trains on disruptive shots only; normal shots exist
-    for the alarm metrics' negative population (eval/alarms.py)."""
+    Non-disruptive shots (NaN tipminf in the shot log) yield zero windows by
+    default — the variable-stride walk's NaN zone comparisons never match —
+    mirroring the reference, which trains on disruptive shots only.
+    ``include_normal=True`` instead walks them with the negative-only
+    generator (windows.ts_windows_normal, no reference counterpart) so the
+    model trains on ramp-down content labeled normal; keep the false-alarm
+    evaluation population disjoint from these shots (the CLIs split normals
+    train/valid/test like disruptive shots)."""
 
     def __init__(
         self,
@@ -103,6 +115,7 @@ class TSDataset:
         dist: int = 3,
         dt: float = 4.0 / 210.0,
         scaler: Optional[Scaler] = None,
+        include_normal: bool = False,
     ):
         self.seq_len = seq_len
         self.dist = dist
@@ -118,11 +131,16 @@ class TSDataset:
         per_shot = []
         for shot in shot_list:
             row = disrupt_df[disrupt_df.shot == shot].iloc[0]
-            w = W.ts_windows(
-                shot, self.table.times[shot],
-                tftsrt=float(row.tftsrt), tipminf=float(row.tipminf),
-                seq_len=seq_len, dist=dist, dt=dt,
-            )
+            if include_normal and _is_normal_row(row):
+                w = W.ts_windows_normal(shot, self.table.times[shot],
+                                        tftsrt=float(row.tftsrt),
+                                        seq_len=seq_len, dt=dt)
+            else:
+                w = W.ts_windows(
+                    shot, self.table.times[shot],
+                    tftsrt=float(row.tftsrt), tipminf=float(row.tipminf),
+                    seq_len=seq_len, dist=dist, dt=dt,
+                )
             # guard the window tail against the shot boundary
             valid = w.starts + seq_len < self.table.n_rows(shot)
             per_shot.append(W.ShotWindows(shot, w.starts[valid], w.labels[valid]))
@@ -187,10 +205,11 @@ class VideoDataset:
     src/dataset.py:32-273). Returns raw uint8 frame stacks; crop/augment/
     normalize happen batched on device.
 
-    Non-disruptive shots (frame_tipminf = -1) yield zero windows — the
-    backward stride range from the (nonexistent) quench is empty — matching
-    the reference's disruptive-only training; normal shots feed the alarm
-    metrics' negative population instead (eval/alarms.py)."""
+    Non-disruptive shots (frame_tipminf = -1) yield zero windows by default —
+    the backward stride range from the (nonexistent) quench is empty —
+    matching the reference's disruptive-only training.
+    ``include_normal=True`` walks them with windows.video_windows_normal
+    (negative-only, anchored at frame_cutoff so ramp-down is covered)."""
 
     def __init__(
         self,
@@ -199,6 +218,7 @@ class VideoDataset:
         shots: Sequence[int],
         seq_len: int = 21,
         dist: int = 3,
+        include_normal: bool = False,
     ):
         self.store = store
         self.seq_len = seq_len
@@ -209,12 +229,19 @@ class VideoDataset:
             if shot not in store:
                 continue
             row = disrupt_df[disrupt_df.shot == shot].iloc[0]
-            w = W.video_windows(
-                shot,
-                frame_startup=int(row.frame_startup),
-                frame_tipminf=int(row.frame_tipminf),
-                seq_len=seq_len, dist=dist,
-            )
+            if include_normal and _is_normal_row(row):
+                w = W.video_windows_normal(
+                    shot,
+                    frame_startup=int(row.frame_startup),
+                    frame_cutoff=int(row.frame_cutoff),
+                    seq_len=seq_len)
+            else:
+                w = W.video_windows(
+                    shot,
+                    frame_startup=int(row.frame_startup),
+                    frame_tipminf=int(row.frame_tipminf),
+                    seq_len=seq_len, dist=dist,
+                )
             valid = w.starts + seq_len < store.n_frames(shot)
             per_shot.append(W.ShotWindows(shot, w.starts[valid], w.labels[valid]))
 
@@ -259,6 +286,7 @@ class MultiModalDataset:
         tau: int = 1,
         scaler: Optional[Scaler] = None,
         pair_mode: str = "reference",
+        include_normal: bool = False,
     ):
         self.seq_len = seq_len
         self.dist = dist
@@ -277,10 +305,15 @@ class MultiModalDataset:
         groups = _shot_groups(ts_df)
         shot_list = [s for s in shots if s in store and int(s) in groups]
         shot_list = filter_valid_shots(groups, cols, shot_list)
-        # time-coverage check (reference src/dataset.py:526-528)
+        # time-coverage check (reference src/dataset.py:526-528); normal
+        # shots have no quench to cover, so the gate only applies to
+        # disruptive rows
         kept = []
         for shot in shot_list:
             row = disrupt_df[disrupt_df.shot == shot].iloc[0]
+            if include_normal and _is_normal_row(row):
+                kept.append(shot)
+                continue
             tmax = float(groups[int(shot)].time.max())
             if tmax >= float(row.tipminf) - dist * dt:
                 kept.append(shot)
@@ -291,15 +324,23 @@ class MultiModalDataset:
         vid_starts, ts_starts, labels, shot_ids = [], [], [], []
         for shot in shot_list:
             row = disrupt_df[disrupt_df.shot == shot].iloc[0]
-            mw = W.multimodal_windows(
-                shot, self.table.times[shot],
-                tftsrt=float(row.tftsrt), tipminf=float(row.tipminf),
-                frame_startup=int(row.frame_startup),
-                frame_tipminf=int(row.frame_tipminf),
-                n_frames=store.n_frames(shot),
-                seq_len=seq_len, dist=dist, dt=dt, tau=tau,
-                pair_mode=pair_mode,
-            )
+            if include_normal and _is_normal_row(row):
+                mw = W.multimodal_windows_normal(
+                    shot, self.table.times[shot],
+                    tftsrt=float(row.tftsrt),
+                    frame_startup=int(row.frame_startup),
+                    frame_cutoff=int(row.frame_cutoff),
+                    seq_len=seq_len, dt=dt, tau=tau)
+            else:
+                mw = W.multimodal_windows(
+                    shot, self.table.times[shot],
+                    tftsrt=float(row.tftsrt), tipminf=float(row.tipminf),
+                    frame_startup=int(row.frame_startup),
+                    frame_tipminf=int(row.frame_tipminf),
+                    n_frames=store.n_frames(shot),
+                    seq_len=seq_len, dist=dist, dt=dt, tau=tau,
+                    pair_mode=pair_mode,
+                )
             if mw is None or len(mw) == 0:
                 continue
             n_rows = self.table.n_rows(shot)

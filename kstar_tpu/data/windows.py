@@ -269,6 +269,88 @@ def multimodal_windows(
 
 
 # ---------------------------------------------------------------------------
+# Negative-only windows for NON-disruptive shots (no reference counterpart:
+# the reference trains on disruptive shots only, so a trained model never
+# sees a normal shot's ramp-down and may false-alarm there — measured on the
+# multimodal demo, PERFORMANCE.md). These walks mirror the disruptive walks'
+# geometry but anchor at the shot's END instead of its quench, and every
+# window is labeled normal.
+# ---------------------------------------------------------------------------
+
+def video_windows_normal(
+    shot: int,
+    frame_startup: int,
+    frame_cutoff: int,
+    seq_len: int = 21,
+) -> ShotWindows:
+    """Video windows for a shot with no quench: the same backward seq_len
+    stride as :func:`video_windows` but anchored at ``frame_cutoff`` so the
+    ramp-down is covered; all labels normal."""
+    starts = np.array(
+        sorted(range(frame_cutoff - seq_len, frame_startup, -seq_len)),
+        dtype=np.int64)
+    return ShotWindows(shot=shot, starts=starts,
+                       labels=np.full(len(starts), LABEL_NORMAL, np.int64))
+
+
+def ts_windows_normal(
+    shot: int,
+    times: np.ndarray,
+    tftsrt: float,
+    seq_len: int = 21,
+    dt: float = 4.0 / 210.0,
+) -> ShotWindows:
+    """0D windows for a shot with no quench: the far-zone stride
+    (``seq_len//3``, floored like :func:`ts_windows`) from ``tftsrt`` through
+    the end of the table; all labels normal."""
+    n = len(times)
+    s3 = max(seq_len // 3, 1)
+    idx = int(tftsrt / dt)
+    idx_last = n - seq_len
+    starts = list(range(idx, idx_last, s3))
+    return ShotWindows(
+        shot=shot,
+        starts=np.asarray(starts, dtype=np.int64),
+        labels=np.full(len(starts), LABEL_NORMAL, np.int64))
+
+
+def multimodal_windows_normal(
+    shot: int,
+    times: np.ndarray,
+    tftsrt: float,
+    frame_startup: int,
+    frame_cutoff: int,
+    seq_len: int = 21,
+    dt: float = 1.0 / 210.0,
+    tau: int = 1,
+) -> Optional[MultiShotWindows]:
+    """Paired windows for a shot with no quench: ladders anchored at the END
+    of both streams (video at ``frame_cutoff``, 0D at the last full window),
+    truncated to equal length and walked with the far-zone stride
+    (``tau*seq_len//3``); all labels normal. Pairing is positional like the
+    aligned mode — there is no t_disrupt filter to introduce a shift."""
+    last_video = frame_cutoff - seq_len * tau - 1
+    last_ts = len(times) - seq_len * tau - 1
+    ts_idx_start = int(np.sum(times < tftsrt))
+    if last_video <= frame_startup or last_ts <= ts_idx_start:
+        return None
+
+    video_orig = list(range(last_video, frame_startup, -1))
+    ts_orig = list(range(last_ts, ts_idx_start, -1))
+    k = min(len(video_orig), len(ts_orig))
+    video_orig, ts_orig = video_orig[:k], ts_orig[:k]
+
+    stride = max(int(tau * seq_len) // 3, 1)
+    video_indices = video_orig[::stride]
+    ts_indices = ts_orig[::stride]
+    return MultiShotWindows(
+        shot=shot,
+        video_starts=np.asarray(video_indices, dtype=np.int64),
+        ts_starts=np.asarray(ts_indices, dtype=np.int64),
+        labels=np.full(len(video_indices), LABEL_NORMAL, np.int64))
+
+
+# ---------------------------------------------------------------------------
 # Window gather helpers (vectorized, feed the batched loaders)
 # ---------------------------------------------------------------------------
 

@@ -43,3 +43,11 @@ from kstar_tpu.data import synthetic
 def tiny_dataset():
     """8 synthetic shots, 64x64 frames, shared across tests."""
     return synthetic.make_dataset(n_shots=8, n_frames=192, height=64, width=64, seed=0)
+
+
+@pytest.fixture(scope="session")
+def tiny_normal_dataset():
+    """4 disruptive + 2 non-disruptive shots (ramp-down, no quench) for the
+    --train_with_normal paths."""
+    return synthetic.make_dataset(n_shots=4, n_frames=192, height=64,
+                                  width=64, seed=0, n_normal=2)

@@ -194,3 +194,89 @@ class TestMultimodalWindows:
 def test_class_counts():
     labels = np.array([0, 1, 1, 1, 0])
     np.testing.assert_array_equal(W.class_counts(labels), [2, 3])
+
+
+class TestNormalShotWindows:
+    """Negative-only walks for non-disruptive shots (--train_with_normal):
+    no reference counterpart — the reference trains on disruptive shots only
+    and a trained model never sees ramp-down labeled normal."""
+
+    def test_video_normal_covers_ramp_down(self):
+        from kstar_tpu.data.windows import LABEL_NORMAL, video_windows_normal
+
+        w = video_windows_normal(1, frame_startup=10, frame_cutoff=200,
+                                 seq_len=21)
+        assert len(w) > 0
+        assert (w.labels == LABEL_NORMAL).all()
+        # anchored at the cutoff: the last window ends exactly at it
+        assert w.starts[-1] + 21 == 200
+        assert (np.diff(w.starts) == 21).all()
+        assert w.starts[0] > 10
+
+    def test_ts_normal_all_negative(self):
+        from kstar_tpu.data.windows import LABEL_NORMAL, ts_windows_normal
+
+        dt = 4.0 / 210.0
+        times = np.arange(300) * dt
+        w = ts_windows_normal(1, times, tftsrt=0.5, seq_len=21, dt=dt)
+        assert len(w) > 0
+        assert (w.labels == LABEL_NORMAL).all()
+        assert (w.starts + 21 <= len(times)).all()
+        assert (np.diff(w.starts) == 7).all()          # seq_len//3
+        assert w.starts[0] == int(0.5 / dt)
+
+    def test_multimodal_normal_pairs_stay_aligned(self):
+        from kstar_tpu.data.windows import (LABEL_NORMAL,
+                                            multimodal_windows_normal)
+
+        dt = 1.0 / 210.0
+        times = np.arange(1200) * dt
+        mw = multimodal_windows_normal(1, times, tftsrt=0.2,
+                                       frame_startup=40, frame_cutoff=1150,
+                                       seq_len=21, dt=dt, tau=4)
+        assert mw is not None and len(mw) > 0
+        assert (mw.labels == LABEL_NORMAL).all()
+        # positional pairing: both ladders step together (constant offset)
+        off = mw.video_starts - mw.ts_starts
+        assert (off == off[0]).all()
+        # tails guarded for the gather geometry
+        assert (mw.video_starts + 1 + 4 * 21 <= 1150).all()
+        assert (mw.ts_starts + 4 * 21 < len(times)).all()
+
+    def test_datasets_gate_on_include_normal(self, tiny_normal_dataset):
+        from kstar_tpu.data import (MultiModalDataset, TSDataset,
+                                    VideoDataset, VideoStore)
+
+        from kstar_tpu.config import Schema
+
+        cols = list(Schema.INPUT_FEATURES[:3])
+        shots, disrupt_df, ts_df = tiny_normal_dataset
+        store = VideoStore.from_arrays({s.shot: s.frames for s in shots})
+        normal = [s.shot for s in shots if not s.is_disrupt]
+        assert normal, "fixture must contain a normal shot"
+
+        vd0 = VideoDataset(store, disrupt_df, normal, seq_len=10, dist=3)
+        vd1 = VideoDataset(store, disrupt_df, normal, seq_len=10, dist=3,
+                           include_normal=True)
+        assert len(vd0) == 0 and len(vd1) > 0
+        assert (vd1.labels == 1).all()
+        x, y = vd1.batch(np.arange(min(4, len(vd1))))
+        assert x.shape[1] == 10 and (y == 1).all()
+
+        sub = ts_df[ts_df.shot.isin(normal)]
+        td0 = TSDataset(sub, disrupt_df, cols, seq_len=10,
+                        dist=3, dt=4.0 / 210.0)
+        td1 = TSDataset(sub, disrupt_df, cols, seq_len=10,
+                        dist=3, dt=4.0 / 210.0, include_normal=True)
+        assert len(td0) == 0 and len(td1) > 0
+        assert (td1.labels == 1).all()
+
+        md0 = MultiModalDataset(store, ts_df, disrupt_df, cols,
+                                normal, seq_len=10, dist=3, dt=4.0 / 210.0)
+        md1 = MultiModalDataset(store, ts_df, disrupt_df, cols,
+                                normal, seq_len=10, dist=3, dt=4.0 / 210.0,
+                                include_normal=True)
+        assert len(md0) == 0 and len(md1) > 0
+        assert (md1.labels == 1).all()
+        b, y = md1.batch(np.arange(min(4, len(md1))))
+        assert b["video"].shape[1] == 10 and b["0D"].shape[1] == 10
