@@ -9,6 +9,16 @@
 # 6 s shots (1260 frames at 210 fps), frame-rate 0D table (the reference's
 # 5 ms multimodal grid), 0.5 s prediction horizon (dist 105), tau=4 temporal
 # subsampling (the reference's seq_len 21 / tau 4 sweep point, exp_multi.sh).
+# Variants (artifact sets in results/, see PERFORMANCE.md "Alarm quality"):
+#   (default)                         — reference pairing, disruptive-only
+#                                       training: the parity baseline
+#   --pair_mode aligned --tag demo_multimodal_aligned
+#                                     — fixes the reference pairing shift
+#                                       (dist > seq_len*tau regime)
+#   --pair_mode aligned --train_with_normal --synthetic_normal 12 \
+#     --tag demo_multimodal_aligned_normal
+#                                     — additionally trains on normal-shot
+#                                       ramp-down as negative windows
 set -e
 cd "$(dirname "$0")/.."
 

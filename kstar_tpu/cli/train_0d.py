@@ -149,6 +149,8 @@ def main(argv=None):
         best_i = int(np.argmax([h.best_f1 for h in hists]))
         state, hist = unstack_ensemble(states, best_i), hists[best_i]
         print(f"continuing with best seed {args.seeds[best_i]}")
+        best_path = os.path.join(
+            args.weight_dir, f"{ens_tag}_seed_{args.seeds[best_i]}_best.ckpt")
     else:
         from .common import setup_dp
         state, mesh, put = setup_dp(args, state)
@@ -159,7 +161,14 @@ def main(argv=None):
         state, hist = fit(model, state, train_ds, valid_ds, train_cfg, loss_cfg,
                           tag=tag, sampler=sampler, writer=writer, put=put,
                           put_stack=put_stack)
+        best_path = os.path.join(args.weight_dir, f"{tag}_best.ckpt")
     plot_learning_curve(hist, os.path.join(args.save_dir, f"{tag}_learning_curve.png"))
+
+    # test evaluation + extras run on the BEST checkpoint, not the final
+    # epoch (reference train_0D_network.py:393 reloads best before eval)
+    if os.path.exists(best_path):
+        from ..train import load_checkpoint
+        state = load_checkpoint(state, best_path)
 
     results = evaluate(model, state, test_ds, loss_cfg,
                        batch_size=args.batch_size, threshold=args.threshold,

@@ -190,6 +190,13 @@ def main(argv=None):
 
     plot_learning_curve(hist, os.path.join(args.save_dir, f"{tag}_learning_curve.png"))
 
+    # test evaluation + extras run on the BEST checkpoint, not the final
+    # epoch (reference train_multimodal.py:464 reloads best before eval)
+    best_path = os.path.join(args.weight_dir, f"{tag}_best.ckpt")
+    if os.path.exists(best_path):
+        from ..train import load_checkpoint
+        state = load_checkpoint(state, best_path)
+
     from ..losses import ldam_margins
     from ..train.loop import make_eval_step, run_eval_epoch
 

@@ -210,6 +210,8 @@ def main(argv=None):
         best_i = int(np.argmax([h.best_f1 for h in hists]))
         state, hist = unstack_ensemble(states, best_i), hists[best_i]
         print(f"continuing with best seed {args.seeds[best_i]}")
+        best_path = os.path.join(
+            args.weight_dir, f"{ens_tag}_seed_{args.seeds[best_i]}_best.ckpt")
     else:
         eval_stats_fn = None
         if getattr(args, "bn_splits", None):
@@ -223,7 +225,14 @@ def main(argv=None):
                           put=put_raw, put_eval=put_raw, put_stack=put_raw_stack,
                           pre_fn=pre_train, pre_fn_eval=pre_eval_fn,
                           eval_stats_fn=eval_stats_fn)
+        best_path = os.path.join(args.weight_dir, f"{tag}_best.ckpt")
     plot_learning_curve(hist, os.path.join(args.save_dir, f"{tag}_learning_curve.png"))
+
+    # test evaluation + extras run on the BEST checkpoint, not the final
+    # epoch (reference train_vision_network.py:393 reloads best before eval)
+    if os.path.exists(best_path):
+        from ..train import load_checkpoint
+        state = load_checkpoint(state, best_path)
 
     # evaluate: eval-mode preprocessing
     from ..train.loop import make_eval_step, run_eval_epoch
