@@ -51,6 +51,14 @@ def add_common_args(p: argparse.ArgumentParser, batch_size: int = 64) -> None:
                         "test normals feed the false-alarm metrics — a model "
                         "that never sees ramp-down labeled normal false-"
                         "alarms there (PERFORMANCE.md)")
+    p.add_argument("--alarm_dwell_s", type=float, default=0.0,
+                   help="alarm dwell (hysteresis) in seconds: the alarm "
+                        "trips only after the probability stays above "
+                        "--threshold for this much continuous armed time "
+                        "(suppresses brief ramp-down spikes at a 1:1 cost "
+                        "in warning time; 0 = the reference first-crossing "
+                        "rule). The {tag}_dwell_tradeoff.csv artifact sweeps "
+                        "this axis")
     p.add_argument("--random_seed", type=int, default=42)
     p.add_argument("--save_dir", type=str, default="./results")
     p.add_argument("--weight_dir", type=str, default="./weights")
@@ -243,35 +251,43 @@ def setup_dp(args, state):
     return state, mesh, put
 
 
-def write_alarm_artifacts(curves, threshold, save_dir, tag):
-    """Score pre-swept shot curves and write ``{tag}_alarms.json``/``.csv``
-    and ``{tag}_threshold_tradeoff.csv``. One writer shared by the vision and
-    multimodal train CLIs and ``evaluate_model --alarms`` so every artifact
-    carries the same metric definitions (eval/alarms.py)."""
+def write_alarm_artifacts(curves, threshold, save_dir, tag,
+                          min_dwell_s: float = 0.0):
+    """Score pre-swept shot curves and write ``{tag}_alarms.json``/``.csv``,
+    ``{tag}_threshold_tradeoff.csv`` and ``{tag}_dwell_tradeoff.csv``. One
+    writer shared by the vision and multimodal train CLIs and
+    ``evaluate_model --alarms`` so every artifact carries the same metric
+    definitions (eval/alarms.py)."""
     import json as _json
 
-    from ..eval import score_alarms, threshold_tradeoff_from_curves
+    from ..eval import (dwell_tradeoff_from_curves, score_alarms,
+                        threshold_tradeoff_from_curves)
 
-    res = score_alarms(curves, threshold)
+    res = score_alarms(curves, threshold, min_dwell_s=min_dwell_s)
     print(f"alarm summary: {res['summary']}")
     with open(os.path.join(save_dir, f"{tag}_alarms.json"), "w") as f:
         _json.dump(res["summary"], f, indent=2)
     res["per_shot"].to_csv(
         os.path.join(save_dir, f"{tag}_alarms.csv"), index=False)
 
-    # operational trade-off curve: detection / warning / premature rate vs
-    # threshold — the library is swept ONCE by the caller; the trade-off
-    # just rescores the held curves per threshold
-    tradeoff = threshold_tradeoff_from_curves(curves)
+    # operational trade-off curves: detection / warning / premature rate vs
+    # threshold (at the configured dwell) and vs dwell (at the configured
+    # threshold) — the library is swept ONCE by the caller; the trade-offs
+    # just rescore the held curves on the host
+    tradeoff = threshold_tradeoff_from_curves(curves, min_dwell_s=min_dwell_s)
     tradeoff.to_csv(
         os.path.join(save_dir, f"{tag}_threshold_tradeoff.csv"), index=False)
     print(tradeoff.to_string(index=False))
+    dwell = dwell_tradeoff_from_curves(curves, threshold=threshold)
+    dwell.to_csv(
+        os.path.join(save_dir, f"{tag}_dwell_tradeoff.csv"), index=False)
+    print(dwell.to_string(index=False))
     return res
 
 
 def emit_alarm_artifacts(model, state, store, disrupt_df, sweep_shot_list,
                          seq_len, dist, crop, batch_size, dtype, threshold,
-                         save_dir, tag):
+                         save_dir, tag, min_dwell_s: float = 0.0):
     """Vision path: sweep whole shots (test + normal populations) in one
     dispatch group, then score + write via write_alarm_artifacts. Returns
     the swept curves for reuse."""
@@ -281,7 +297,8 @@ def emit_alarm_artifacts(model, state, store, disrupt_df, sweep_shot_list,
         model, state.params, state.batch_stats, store, disrupt_df,
         sweep_shot_list, seq_len=seq_len, dist=dist, crop_size=crop,
         batch_size=batch_size, compute_dtype=dtype)
-    write_alarm_artifacts(curves, threshold, save_dir, tag)
+    write_alarm_artifacts(curves, threshold, save_dir, tag,
+                          min_dwell_s=min_dwell_s)
     return curves
 
 

@@ -227,7 +227,8 @@ def main(argv=None):
                 seq_len=args.seq_len, dist=args.dist, dt=dt, tau=args.tau,
                 crop_size=crop, batch_size=args.batch_size,
                 compute_dtype=dtype)
-            write_alarm_artifacts(curves, args.threshold, args.save_dir, tag)
+            write_alarm_artifacts(curves, args.threshold, args.save_dir, tag,
+                                  min_dwell_s=args.alarm_dwell_s)
         return results
 
     # --- vision -------------------------------------------------------------
@@ -292,7 +293,8 @@ def main(argv=None):
             model, state, store, disrupt_df, list(test_s) + list(sweep_normals),
             seq_len=seq_len, dist=args.dist, crop=crop,
             batch_size=args.batch_size, dtype=dtype,
-            threshold=args.threshold, save_dir=args.save_dir, tag=tag)
+            threshold=args.threshold, save_dir=args.save_dir, tag=tag,
+            min_dwell_s=args.alarm_dwell_s)
     return results
 
 

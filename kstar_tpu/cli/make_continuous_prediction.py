@@ -76,7 +76,8 @@ def main(argv=None):
         dist=args.dist, crop_size=crop, batch_size=args.batch_size,
         compute_dtype=dtype)
 
-    t_alarm = alarm_times(t_vid, p_vid, args.threshold)
+    t_alarm = alarm_times(t_vid, p_vid, args.threshold,
+                          min_dwell_s=args.alarm_dwell_s)
     t_warn = warning_time(t_alarm, float(row.tipminf))
     print(f"shot {shot} | video alarm at {t_alarm} s | warning margin "
           f"{t_warn if t_warn is None else round(t_warn, 4)} s")

@@ -231,7 +231,8 @@ def main(argv=None):
                 seq_len=args.seq_len,
                 dist=args.dist, dt=dt, tau=args.tau, crop_size=crop,
                 batch_size=args.batch_size, compute_dtype=dtype)
-            write_alarm_artifacts(curves, args.threshold, args.save_dir, tag)
+            write_alarm_artifacts(curves, args.threshold, args.save_dir, tag,
+                                  min_dwell_s=args.alarm_dwell_s)
         except Exception as e:
             print(f"alarm evaluation skipped: {e}")
 

@@ -264,7 +264,8 @@ def main(argv=None):
                 list(test_s) + list(sweep_normals), seq_len=seq_len,
                 dist=args.dist, crop=crop, batch_size=args.batch_size,
                 dtype=dtype, threshold=args.threshold,
-                save_dir=args.save_dir, tag=tag)
+                save_dir=args.save_dir, tag=tag,
+                min_dwell_s=args.alarm_dwell_s)
         except Exception as e:
             print(f"alarm evaluation skipped: {e}")
 

@@ -30,6 +30,13 @@ shot counts as missed even if a credible alarm also fires later inside
 alternative — scan for the first crossing at or after tftsrt + t_min — is
 reported alongside as ``detected_recoverable`` / ``detection_rate_recoverable``.
 
+**Dwell rule.** Every scorer takes ``min_dwell_s``: the alarm trips only
+after the curve stays above threshold for that much continuous armed time
+(alarm_times, infer/continuous.py) — a hysteresis axis the reference lacks
+that suppresses brief ramp-down spikes (the measured false-alarm mode) at a
+1:1 cost in warning time. ``dwell_tradeoff_from_curves`` sweeps it the way
+``threshold_tradeoff_from_curves`` sweeps the threshold.
+
 Every entry point sweeps the whole shot library in ONE device dispatch
 (VideoSweeper.sweep_shots) and scores alarms on the host.
 """
@@ -100,7 +107,8 @@ def sweep_prob_curves(
     return curves
 
 
-def score_alarms(curves, threshold: float = 0.5, t_min: float = 1.0) -> Dict:
+def score_alarms(curves, threshold: float = 0.5, t_min: float = 1.0,
+                 min_dwell_s: float = 0.0) -> Dict:
     """Score pre-swept probability curves at one threshold.
 
     Disruptive shots contribute to detection/warning statistics (first-alarm
@@ -110,13 +118,20 @@ def score_alarms(curves, threshold: float = 0.5, t_min: float = 1.0) -> Dict:
     statistics: a crossing at or after ``t_min`` is a false alarm, and
     ``alarm_time_frac`` is the fraction of post-``t_min`` samples above
     threshold — the same gate for both, so false_alarm_rate and
-    false_alarm_time_frac describe one population."""
+    false_alarm_time_frac describe one population.
+
+    ``min_dwell_s`` requires the curve to stay above threshold for that much
+    continuous armed time before the alarm trips (alarm_times dwell rule —
+    suppresses brief ramp-down spikes at the cost of exactly that much
+    warning time; 0 = the reference first-crossing rule).
+    ``alarm_time_frac`` stays a plain duty-cycle statistic, dwell-independent
+    by design."""
     rows: List[Dict] = []
     for shot, r, time_x, probs in curves:
         t_cq = float(r.tipminf)
         tftsrt = float(r.tftsrt)
         is_disrupt = bool(getattr(r, "is_disrupt", True)) and np.isfinite(t_cq)
-        t_alarm = alarm_times(time_x, probs, threshold, t_min)
+        t_alarm = alarm_times(time_x, probs, threshold, t_min, min_dwell_s)
         if is_disrupt:
             w = warning_time(t_alarm, t_cq)
             premature = t_alarm is not None and t_alarm < tftsrt + t_min
@@ -128,7 +143,8 @@ def score_alarms(curves, threshold: float = 0.5, t_min: float = 1.0) -> Dict:
             detected = t_alarm is not None and t_alarm <= t_cq and not premature
             # non-latched companion: first crossing AT OR AFTER tftsrt+t_min
             t_rec = alarm_times(time_x, probs, threshold,
-                                t_min=tftsrt + t_min)
+                                t_min=tftsrt + t_min,
+                                min_dwell_s=min_dwell_s)
             detected_rec = t_rec is not None and t_rec <= t_cq
             false_alarm = False
             alarm_frac = np.nan
@@ -178,6 +194,7 @@ def score_alarms(curves, threshold: float = 0.5, t_min: float = 1.0) -> Dict:
         "warning_p90_s": float(np.percentile(warns, 90)) if len(warns) else None,
         "warning_mean_s": float(warns.mean()) if len(warns) else None,
         "threshold": threshold,
+        "min_dwell_s": min_dwell_s,
     }
     return {"per_shot": per_shot, "summary": summary}
 
@@ -193,6 +210,7 @@ def evaluate_video_alarms(
     batch_size: int = 128,
     threshold: float = 0.5,
     t_min: float = 1.0,
+    min_dwell_s: float = 0.0,
     compute_dtype=None,
     mesh=None,
 ) -> Dict:
@@ -202,7 +220,7 @@ def evaluate_video_alarms(
     curves = sweep_prob_curves(model, params, batch_stats, store, disrupt_df,
                                shots, seq_len, dist, crop_size, batch_size,
                                compute_dtype, mesh=mesh)
-    return score_alarms(curves, threshold, t_min)
+    return score_alarms(curves, threshold, t_min, min_dwell_s)
 
 
 def sweep_multimodal_prob_curves(
@@ -269,6 +287,7 @@ def evaluate_multimodal_alarms(
     model, params, batch_stats, store, ts_df, disrupt_df, shots, cols, scaler,
     threshold: float = 0.5,
     t_min: float = 1.0,
+    min_dwell_s: float = 0.0,
     **kw,
 ) -> Dict:
     """Multimodal analogue of evaluate_video_alarms: sweep each test shot
@@ -278,13 +297,14 @@ def evaluate_multimodal_alarms(
     curves = sweep_multimodal_prob_curves(
         model, params, batch_stats, store, ts_df, disrupt_df, shots, cols,
         scaler, **kw)
-    return score_alarms(curves, threshold, t_min)
+    return score_alarms(curves, threshold, t_min, min_dwell_s)
 
 
 def threshold_tradeoff_from_curves(
     curves,
     thresholds: Sequence[float] = (0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9),
     t_min: float = 1.0,
+    min_dwell_s: float = 0.0,
 ) -> pd.DataFrame:
     """Rescore pre-swept prob curves per threshold — probabilities are
     threshold-independent, so the trade-off curve needs no further device
@@ -293,9 +313,38 @@ def threshold_tradeoff_from_curves(
     the library twice)."""
     rows = []
     for thr in thresholds:
-        s = score_alarms(curves, thr, t_min)["summary"]
+        s = score_alarms(curves, thr, t_min, min_dwell_s)["summary"]
         rows.append({
             "threshold": thr,
+            "detection_rate": s["detection_rate"],
+            "detection_rate_recoverable": s["detection_rate_recoverable"],
+            "warning_p50_s": s["warning_p50_s"],
+            "n_detected": s["detected"],
+            "n_premature": s["premature"],
+            "false_alarm_rate": s["false_alarm_rate"],
+            "false_alarm_time_frac": s["false_alarm_time_frac"],
+            "n_false_alarms": s["false_alarms"],
+        })
+    return pd.DataFrame(rows)
+
+
+def dwell_tradeoff_from_curves(
+    curves,
+    dwells: Sequence[float] = (0.0, 0.05, 0.1, 0.2, 0.4),
+    threshold: float = 0.5,
+    t_min: float = 1.0,
+) -> pd.DataFrame:
+    """Detection / warning / false-alarm rate vs the alarm DWELL requirement
+    at a fixed threshold — the second operational axis (no reference
+    counterpart; the reference alarms on first crossing only). Dwell trades
+    warning time 1:1 for false-alarm suppression: each row shows exactly how
+    much detection and p50 warning is paid for the FPR bought. Rescoring is
+    host-only, like threshold_tradeoff_from_curves."""
+    rows = []
+    for dw in dwells:
+        s = score_alarms(curves, threshold, t_min, dw)["summary"]
+        rows.append({
+            "min_dwell_s": dw,
             "detection_rate": s["detection_rate"],
             "detection_rate_recoverable": s["detection_rate_recoverable"],
             "warning_p50_s": s["warning_p50_s"],
@@ -312,6 +361,7 @@ def multimodal_threshold_sweep(
     model, params, batch_stats, store, ts_df, disrupt_df, shots, cols, scaler,
     thresholds: Sequence[float] = (0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9),
     t_min: float = 1.0,
+    min_dwell_s: float = 0.0,
     **kw,
 ) -> pd.DataFrame:
     """Operational trade-off curve for the fusion model; shots are swept
@@ -319,7 +369,8 @@ def multimodal_threshold_sweep(
     curves = sweep_multimodal_prob_curves(
         model, params, batch_stats, store, ts_df, disrupt_df, shots, cols,
         scaler, **kw)
-    return threshold_tradeoff_from_curves(curves, thresholds, t_min)
+    return threshold_tradeoff_from_curves(curves, thresholds, t_min,
+                                          min_dwell_s)
 
 
 def threshold_sweep(
@@ -332,9 +383,11 @@ def threshold_sweep(
     dispatch via sweep_prob_curves); alarms are rescored per threshold on the
     host (probabilities are threshold-independent)."""
     t_min = kw.pop("t_min", 1.0)
+    min_dwell_s = kw.pop("min_dwell_s", 0.0)
     curves = sweep_prob_curves(
         model, params, batch_stats, store, disrupt_df, shots,
         seq_len=kw.pop("seq_len", 21), dist=kw.pop("dist", 3),
         crop_size=kw.pop("crop_size", 128), batch_size=kw.pop("batch_size", 128),
         compute_dtype=kw.pop("compute_dtype", None), mesh=kw.pop("mesh", None))
-    return threshold_tradeoff_from_curves(curves, thresholds, t_min)
+    return threshold_tradeoff_from_curves(curves, thresholds, t_min,
+                                          min_dwell_s)

@@ -773,12 +773,34 @@ def predict_multimodal_shot(
 # ---------------------------------------------------------------------------
 
 def alarm_times(time_x: np.ndarray, probs: np.ndarray, threshold: float = 0.5,
-                t_min: float = 1.0) -> Optional[float]:
+                t_min: float = 1.0, min_dwell_s: float = 0.0) -> Optional[float]:
     """First time the disruption probability crosses the threshold after the
-    startup window (alarm semantics, reference utility.py:843-853)."""
+    startup window (alarm semantics, reference utility.py:843-853).
+
+    ``min_dwell_s > 0`` adds a dwell (hysteresis) requirement with no
+    reference counterpart: the alarm trips at the END of the first run of
+    samples that stays above threshold for ``min_dwell_s`` of continuous
+    armed time (``time_x >= t_min``). Brief ramp-down spikes on
+    non-disruptive shots — the dominant false-alarm mode measured on the
+    multimodal demo, above-threshold duty cycle 1-3% — don't satisfy the
+    dwell, while true precursors saturate the curve for hundreds of ms
+    before the quench. The trade is explicit: detected warning times shrink
+    by exactly the dwell. ``min_dwell_s = 0`` is bit-identical to the
+    reference first-crossing rule."""
     mask = (probs > threshold) & (time_x >= t_min)
-    idx = np.argmax(mask)
-    return float(time_x[idx]) if mask.any() else None
+    if not mask.any():
+        return None
+    if min_dwell_s > 0.0 and len(time_x) > 1:
+        dt = float(np.median(np.diff(time_x)))
+        k = int(round(min_dwell_s / dt)) + 1 if dt > 0 else 1
+        if k > 1:
+            if k > len(mask):
+                return None
+            runs = np.convolve(mask.astype(np.int64),
+                               np.ones(k, np.int64), "valid")
+            hits = np.flatnonzero(runs == k)
+            return float(time_x[hits[0] + k - 1]) if len(hits) else None
+    return float(time_x[int(np.argmax(mask))])
 
 
 def warning_time(t_alarm: Optional[float], t_current_quench: float) -> Optional[float]:

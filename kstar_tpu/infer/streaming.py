@@ -45,7 +45,8 @@ class StreamingPredictor:
                  crop_size: int = 128, threshold: float = 0.5,
                  compute_dtype=jnp.bfloat16, fps: float = FPS,
                  suppress_s: float = 1.0, modality: str = "video",
-                 n_features: int = 18, block_size: int = 1):
+                 n_features: int = 18, block_size: int = 1,
+                 min_dwell_s: float = 0.0):
         self.seq_len = seq_len
         self.crop_size = crop_size
         self.threshold = threshold
@@ -55,6 +56,12 @@ class StreamingPredictor:
         self.block_size = int(block_size)
         self.n_frames_seen = 0
         self.alarm_time: Optional[float] = None
+        # dwell (hysteresis): the alarm fires only after dwell_n consecutive
+        # unsuppressed frames above threshold (offline counterpart:
+        # alarm_times(min_dwell_s=...), infer/continuous.py) — dwell 0 keeps
+        # the reference's fire-on-first-crossing rule
+        self.dwell_n = int(round(fps * min_dwell_s)) + 1
+        self._run = 0
 
         variables = {"params": params, "batch_stats": batch_stats}
         mean = jnp.asarray(PIXEL_MEAN_BGR, compute_dtype)
@@ -114,7 +121,9 @@ class StreamingPredictor:
         for i, p in enumerate(probs):
             self.n_frames_seen += 1
             suppressed = self.n_frames_seen <= floor
-            alarms[i] = (not suppressed) and p > self.threshold
+            above = (not suppressed) and p > self.threshold
+            self._run = self._run + 1 if above else 0
+            alarms[i] = self._run >= self.dwell_n
             if alarms[i] and self.alarm_time is None:
                 self.alarm_time = self.n_frames_seen / self.fps
         return alarms
@@ -144,3 +153,4 @@ class StreamingPredictor:
         self._buffer = jnp.zeros_like(self._buffer)
         self.n_frames_seen = 0
         self.alarm_time = None
+        self._run = 0

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pandas as pd
 import pytest
 from flax import linen as nn
 
@@ -423,3 +424,99 @@ class TestDifficultyFixture:
         np.testing.assert_array_equal(a.frames, b.frames)
         np.testing.assert_array_equal(a.ts.values, b.ts.values)
 
+
+
+class TestDwellRule:
+    """min_dwell_s hysteresis (no reference counterpart): the alarm trips
+    only after the curve stays above threshold for the dwell; 0 must be
+    bit-identical to the reference first-crossing rule."""
+
+    FPS = 100.0
+
+    def _curve(self, spans, n=1000):
+        """probs high on [a, b) sample spans, else low; 100 Hz time axis."""
+        probs = np.full(n, 0.05, np.float32)
+        for a, b in spans:
+            probs[a:b] = 0.95
+        return np.arange(n) / self.FPS, probs
+
+    def _row(self, is_disrupt, tftsrt=0.5, tipminf=np.nan):
+        return pd.Series({"is_disrupt": is_disrupt, "tftsrt": tftsrt,
+                          "tipminf": tipminf})
+
+    def test_dwell_zero_is_first_crossing(self):
+        from kstar_tpu.infer.continuous import alarm_times
+        t, p = self._curve([(300, 305)])
+        assert alarm_times(t, p, 0.5, t_min=1.0) == alarm_times(
+            t, p, 0.5, t_min=1.0, min_dwell_s=0.0) == 3.0
+
+    def test_spike_shorter_than_dwell_suppressed(self):
+        from kstar_tpu.infer.continuous import alarm_times
+        t, p = self._curve([(300, 305)])          # 50 ms spike
+        assert alarm_times(t, p, 0.5, t_min=1.0, min_dwell_s=0.1) is None
+
+    def test_sustained_run_trips_at_dwell_end(self):
+        from kstar_tpu.infer.continuous import alarm_times
+        t, p = self._curve([(300, 305), (400, 500)])   # spike then 1 s run
+        # dwell 0.1 s = 10 samples + the first: trips at sample 410
+        assert alarm_times(t, p, 0.5, t_min=1.0, min_dwell_s=0.1) == 4.10
+
+    def test_dwell_counts_armed_time_only(self):
+        from kstar_tpu.infer.continuous import alarm_times
+        # run straddles t_min: samples before t_min don't count toward dwell
+        t, p = self._curve([(95, 115)])
+        assert alarm_times(t, p, 0.5, t_min=1.0, min_dwell_s=0.1) == 1.10
+
+    def test_score_alarms_dwell_kills_false_alarm_keeps_detection(self):
+        from kstar_tpu.eval import score_alarms
+        t_d, p_d = self._curve([(800, 1000)])     # sustained precursor
+        t_n, p_n = self._curve([(700, 706)])      # 60 ms ramp-down spike
+        curves = [
+            (1, self._row(True, tipminf=9.5), t_d, p_d),
+            (2, self._row(False), t_n, p_n),
+        ]
+        s0 = score_alarms(curves, 0.5, t_min=1.0)["summary"]
+        s1 = score_alarms(curves, 0.5, t_min=1.0, min_dwell_s=0.2)["summary"]
+        assert s0["detection_rate"] == s1["detection_rate"] == 1.0
+        assert (s0["false_alarm_rate"], s1["false_alarm_rate"]) == (1.0, 0.0)
+        # warning time pays exactly the dwell
+        assert s0["warning_p50_s"] - s1["warning_p50_s"] == pytest.approx(
+            0.2, abs=1.5 / self.FPS)
+        assert s1["min_dwell_s"] == 0.2
+        # duty-cycle stat is dwell-independent by design
+        assert s0["false_alarm_time_frac"] == s1["false_alarm_time_frac"] > 0
+
+    def test_dwell_tradeoff_monotone(self):
+        from kstar_tpu.eval import dwell_tradeoff_from_curves
+        t_d, p_d = self._curve([(800, 1000)])
+        t_n, p_n = self._curve([(700, 706)])
+        curves = [
+            (1, self._row(True, tipminf=9.5), t_d, p_d),
+            (2, self._row(False), t_n, p_n),
+        ]
+        df = dwell_tradeoff_from_curves(curves, dwells=(0.0, 0.1, 0.5, 3.0))
+        assert list(df.min_dwell_s) == [0.0, 0.1, 0.5, 3.0]
+        # both rates can only fall as dwell grows
+        assert (np.diff(df.false_alarm_rate) <= 0).all()
+        assert (np.diff(df.detection_rate) <= 0).all()
+        # the 2 s precursor run fails a 3 s dwell: detection eventually drops
+        assert df.detection_rate.iloc[-1] == 0.0
+        assert df.false_alarm_rate.iloc[0] == 1.0
+        assert df.false_alarm_rate.iloc[1] == 0.0
+
+    def test_streaming_dwell_matches_offline(self):
+        from kstar_tpu.infer.streaming import StreamingPredictor
+        sp = StreamingPredictor(None, None, None, seq_len=2, fps=self.FPS,
+                                suppress_s=0.0, min_dwell_s=0.05,
+                                modality="0D")
+        assert sp.dwell_n == 6
+        probs = np.full(40, 0.05)
+        probs[10:14] = 0.95     # 4-sample spike: below the 6-sample dwell
+        probs[20:30] = 0.95     # 10-sample run: trips at its 6th sample
+        alarms = sp._account(probs)
+        assert not alarms[:20].any()
+        assert not alarms[20:25].any() and alarms[25:30].all()
+        # alarm_time latches the trip point (frame 26, 1-indexed count)
+        assert sp.alarm_time == pytest.approx(26 / self.FPS)
+        sp.reset()
+        assert sp._run == 0 and sp.alarm_time is None
