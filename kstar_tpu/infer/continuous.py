@@ -786,13 +786,27 @@ def alarm_times(time_x: np.ndarray, probs: np.ndarray, threshold: float = 0.5,
     dwell, while true precursors saturate the curve for hundreds of ms
     before the quench. The trade is explicit: detected warning times shrink
     by exactly the dwell. ``min_dwell_s = 0`` is bit-identical to the
-    reference first-crossing rule."""
+    reference first-crossing rule.
+
+    Dwell assumes a uniform time grid (the sweep curves are fixed-FPS): runs
+    are counted in index-consecutive samples with a single median dt, so a
+    run spanning a sampling gap on a non-uniform axis would count the gap as
+    continuous armed time. Callers with non-uniform curves should resample
+    first."""
     mask = (probs > threshold) & (time_x >= t_min)
     if not mask.any():
         return None
-    if min_dwell_s > 0.0 and len(time_x) > 1:
+    if min_dwell_s > 0.0:
+        if len(time_x) <= 1:
+            # A single sample cannot satisfy a positive continuous-dwell
+            # requirement ((k-1)*dt armed time needs k >= 2 samples).
+            return None
         dt = float(np.median(np.diff(time_x)))
-        k = int(round(min_dwell_s / dt)) + 1 if dt > 0 else 1
+        # ceil so the enforced continuous armed time (k-1)*dt >= min_dwell_s;
+        # round() could under-enforce by up to half a sample interval. The
+        # 1e-9 guard keeps exact multiples (0.1/0.01) from ceiling up on
+        # float noise.
+        k = int(np.ceil(min_dwell_s / dt - 1e-9)) + 1 if dt > 0 else 1
         if k > 1:
             if k > len(mask):
                 return None

@@ -59,8 +59,11 @@ class StreamingPredictor:
         # dwell (hysteresis): the alarm fires only after dwell_n consecutive
         # unsuppressed frames above threshold (offline counterpart:
         # alarm_times(min_dwell_s=...), infer/continuous.py) — dwell 0 keeps
-        # the reference's fire-on-first-crossing rule
-        self.dwell_n = int(round(fps * min_dwell_s)) + 1
+        # the reference's fire-on-first-crossing rule. ceil so the enforced
+        # continuous armed time (dwell_n-1)/fps >= min_dwell_s, matching
+        # alarm_times' ceil-based k (1e-9 guards exact multiples against
+        # float noise).
+        self.dwell_n = int(np.ceil(fps * min_dwell_s - 1e-9)) + 1
         self._run = 0
 
         variables = {"params": params, "batch_stats": batch_stats}

@@ -461,6 +461,24 @@ class TestDwellRule:
         # dwell 0.1 s = 10 samples + the first: trips at sample 410
         assert alarm_times(t, p, 0.5, t_min=1.0, min_dwell_s=0.1) == 4.10
 
+    def test_dwell_ceil_never_under_enforces(self):
+        # advisor r4: round() gave k=2 for dwell 0.014 s at dt=0.01 s,
+        # enforcing only 0.01 s of armed time. ceil gives k=3 (0.02 s >=
+        # 0.014 s), so a 2-sample run must NOT trip.
+        from kstar_tpu.infer.continuous import alarm_times
+        t, p = self._curve([(300, 302)])          # 2-sample (0.01 s) run
+        assert alarm_times(t, p, 0.5, t_min=1.0, min_dwell_s=0.014) is None
+        t, p = self._curve([(300, 303)])          # 3-sample (0.02 s) run
+        assert alarm_times(t, p, 0.5, t_min=1.0,
+                           min_dwell_s=0.014) == pytest.approx(3.02)
+
+    def test_dwell_single_sample_curve_never_fires(self):
+        # advisor r4: a 1-sample curve cannot satisfy a positive dwell
+        from kstar_tpu.infer.continuous import alarm_times
+        t, p = np.array([2.0]), np.array([0.95], np.float32)
+        assert alarm_times(t, p, 0.5, t_min=1.0, min_dwell_s=0.01) is None
+        assert alarm_times(t, p, 0.5, t_min=1.0) == 2.0   # dwell 0 unchanged
+
     def test_dwell_counts_armed_time_only(self):
         from kstar_tpu.infer.continuous import alarm_times
         # run straddles t_min: samples before t_min don't count toward dwell
