@@ -8,14 +8,18 @@
    torch-CPU ViViT driven exactly the way the reference drives it
    (per-window host crop+normalize, batch size 1).
 2. **p50 frame-to-alarm latency**: the streaming path
-   (infer/streaming.py push_block, k=16 through this relay), counting BOTH
-   the micro-batch accumulation wait ((k-1-i)/fps for the i-th frame of a
-   block) and the dispatch itself. Baseline: the torch batch-1 window
-   forward (its per-window time IS its frame-to-alarm latency) — note the
-   torch loop only sustains ~26 fps, so at the camera's 210 fps its queue
-   grows without bound and its steady-state alarm latency diverges; the
-   ratio compares against its BELOW-real-time best case, and the absolute
-   figure here is relay-RTT-floored (a directly-attached host runs k=1 at
+   (infer/streaming.py push_block) at an ADAPTIVE block size — the
+   smallest k whose measured p99 block dispatch holds the camera's
+   4.76 ms/frame budget through this session's relay (choose_block_size,
+   re-probed each run) — counting BOTH the micro-batch accumulation wait
+   ((k-1-i)/fps for the i-th frame of a block) and the dispatch itself.
+   Baseline: the torch batch-1 window forward (its per-window time IS its
+   frame-to-alarm latency) — note the torch loop only sustains ~26 fps, so
+   at the camera's 210 fps its queue grows without bound and its
+   steady-state alarm latency diverges; the ratio compares against its
+   BELOW-real-time best case (the extras record this explicitly:
+   torch_cpu_queue_diverges_at_camera_fps), and the absolute figure here
+   is relay-RTT-floored (a directly-attached host runs k=1 at
    ~0.2 ms/window).
 3. **hard-fixture test macro-F1**: MLSTM-FCN (the CPU-runnable config
    BASELINE.md:27 names) trained on the difficulty=1.0 synthetic fixture,
@@ -50,6 +54,7 @@ RESIZE = 256
 BATCH = 128
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_baseline.json")
 BASELINE_WINDOWS = 48      # batch-1 torch windows to time (extrapolated)
+CAMERA_FPS = 210.0         # KSTAR camera rate (== kstar_tpu.config.FPS)
 
 
 def _synthetic_frames(n: int) -> np.ndarray:
@@ -343,35 +348,41 @@ def measure_f1_tpu() -> float:
 # Streaming frame-to-alarm latency (micro-batched push)
 # ---------------------------------------------------------------------------
 
-STREAM_K = 16  # holds the 4.76 ms/frame budget through this relay
-
-
-def measure_streaming(model, variables) -> float:
-    """p50 frame-to-alarm latency (ms) of the k=16 micro-batched streaming
-    path: for the i-th frame of a block, latency = (k-1-i)/fps block-fill
-    wait + the block dispatch time. Reuses the already-initialized flagship
-    ViViT."""
+def measure_streaming(model, variables):
+    """p50 frame-to-alarm latency (ms) of the micro-batched streaming path
+    at an ADAPTIVELY chosen block size k — the smallest k whose measured
+    p99 block dispatch holds the camera's 4.76 ms/frame budget through this
+    session's relay (choose_block_size, re-probed per run instead of a
+    hard-coded constant). For the i-th frame of a block, latency =
+    (k-1-i)/fps block-fill wait + the block dispatch time. Reuses the
+    already-initialized flagship ViViT. Returns (p50_ms, k, probe_report)."""
     import time as _time
 
     import jax.numpy as jnp
 
     from kstar_tpu.config import FPS
-    from kstar_tpu.infer import StreamingPredictor
+    from kstar_tpu.infer import (StreamingPredictor, choose_block_size,
+                                 probe_stream_blocks)
 
-    sp = StreamingPredictor(model, variables["params"],
-                            variables.get("batch_stats", {}), seq_len=SEQ_LEN,
-                            crop_size=CROP, block_size=STREAM_K,
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    probe = probe_stream_blocks(model, params, stats, SEQ_LEN, CROP,
+                                jnp.bfloat16)
+    k, report = choose_block_size(probe, fps=FPS)
+
+    sp = StreamingPredictor(model, params, stats, seq_len=SEQ_LEN,
+                            crop_size=CROP, block_size=k,
                             compute_dtype=jnp.bfloat16)
     frames = np.random.default_rng(0).integers(
-        0, 255, size=(STREAM_K, CROP, CROP, 3), dtype=np.uint8)
-    sp.push_block(frames)  # compile
+        0, 255, size=(k, CROP, CROP, 3), dtype=np.uint8)
+    sp.push_block(frames)  # compile (cache-shared with the probe's program)
     lat = []
-    fill_ms = (STREAM_K - 1 - np.arange(STREAM_K)) / FPS * 1e3
+    fill_ms = (k - 1 - np.arange(k)) / FPS * 1e3
     for _ in range(30):
         t0 = _time.perf_counter()
         sp.push_block(frames)
         lat.append(fill_ms + (_time.perf_counter() - t0) * 1e3)
-    return float(np.median(np.concatenate(lat)))
+    return float(np.median(np.concatenate(lat))), k, report
 
 
 # ---------------------------------------------------------------------------
@@ -454,9 +465,12 @@ def worker_tpu():
     """Child-process body: all three on-chip measurements."""
     frames = _synthetic_frames(N_FRAMES_SHOT)
     tpu, model, variables = measure_tpu(frames)
-    stream_p50_ms = measure_streaming(model, variables)
+    stream_p50_ms, stream_k, stream_report = measure_streaming(model, variables)
     f1 = measure_f1_tpu()
     print(json.dumps({"clips_per_s": tpu, "stream_p50_ms": stream_p50_ms,
+                      "stream_k": stream_k,
+                      "stream_probe": {str(k): v for k, v in
+                                       stream_report.items()},
                       "f1": f1}))
 
 
@@ -515,11 +529,26 @@ def main():
         extras = {
             "p50_frame_to_alarm_ms": round(tpu_result["stream_p50_ms"], 2),
             "hard_fixture_test_f1": round(tpu_result["f1"], 4),
-            "stream_block_k": STREAM_K,
+            # k chosen by measurement this run: smallest block size whose
+            # p99 dispatch holds the camera budget (choose_block_size)
+            "stream_block_k_adaptive": tpu_result.get("stream_k"),
+            "stream_block_probe": tpu_result.get("stream_probe"),
+            "camera_fps": CAMERA_FPS,
         }
         if baseline:
-            extras["p50_frame_to_alarm_vs_torch_cpu"] = round(
+            # The ratio compares against torch's per-window BEST CASE (an
+            # empty queue). torch sustains only base_fps windows/s — below
+            # the camera rate — so in steady state its input queue grows
+            # without bound and its real frame-to-alarm latency diverges;
+            # ours is measured AT the camera rate. The boolean makes the
+            # artifact self-explanatory without PERFORMANCE.md.
+            extras["p50_frame_to_alarm_vs_torch_cpu_best_case"] = round(
                 (1e3 / base_fps) / tpu_result["stream_p50_ms"], 2)
+            extras["torch_cpu_queue_diverges_at_camera_fps"] = (
+                base_fps < CAMERA_FPS)
+            extras["torch_cpu_p50_frame_to_alarm_at_sustained_rate"] = (
+                "diverges" if base_fps < CAMERA_FPS
+                else round(1e3 / base_fps, 2))
             extras["hard_fixture_torch_cpu_f1"] = round(baseline["torch_cpu_f1"], 4)
             extras["torch_cpu_max_sustained_fps"] = round(base_fps, 1)
         else:

@@ -3,4 +3,5 @@ from .continuous import (MultiModalSweeper, TSSweeper, VideoSweeper,
                          predict_multimodal_shot, predict_video_shot,
                          startup_suppression, warning_time)
 from .latency import measure_forward, measure_model
-from .streaming import StreamingPredictor
+from .streaming import (StreamingPredictor, choose_block_size,
+                        probe_stream_blocks)

@@ -157,3 +157,73 @@ class StreamingPredictor:
         self.n_frames_seen = 0
         self.alarm_time = None
         self._run = 0
+
+
+def choose_block_size(probe_fn, fps: float = FPS,
+                      candidates=(1, 2, 4, 8, 16, 32), q: float = 0.99,
+                      budget_frac: float = 1.0):
+    """Adaptive micro-batch size (round-4 verdict next #6): the smallest
+    block size k whose measured dispatch-time quantile holds the real-time
+    budget, instead of a hard-coded constant.
+
+    A k-frame block arrives every ``k / fps`` seconds; streaming keeps up
+    iff the block dispatch finishes within that window, so the per-frame
+    budget (1/fps, 4.76 ms at the camera's 210 fps) is met exactly when
+    ``quantile_q(block_time) <= budget_frac * k / fps``. Larger k amortizes
+    the host->device relay RTT over more frames but adds (k-1)/fps of
+    block-fill wait to the first frame's alarm latency — so the smallest
+    sustaining k minimizes p50 frame-to-alarm subject to never falling
+    behind the camera.
+
+    ``probe_fn(k)`` must return a sequence of measured block dispatch times
+    (seconds) at block size k — see ``probe_stream_blocks`` for the real
+    predictor-backed probe; tests inject synthetic timings.
+
+    Returns ``(k, report)`` where report maps each probed k to
+    ``{"q_s": quantile, "budget_s": k/fps*budget_frac, "sustains": bool}``.
+    Probing stops at the first sustaining k (candidates must be ascending).
+    If no candidate sustains, the largest is returned (best amortization —
+    closest to real time) with every row marked ``sustains: False``.
+    """
+    report = {}
+    for k in candidates:
+        times = np.asarray(probe_fn(int(k)), np.float64)
+        q_s = float(np.quantile(times, q))
+        budget_s = budget_frac * k / fps
+        report[int(k)] = {"q_s": q_s, "budget_s": budget_s,
+                          "sustains": q_s <= budget_s}
+        if q_s <= budget_s:
+            return int(k), report
+    return int(candidates[-1]), report
+
+
+def probe_stream_blocks(model, params, batch_stats, seq_len: int,
+                        crop_size: int, compute_dtype=jnp.bfloat16,
+                        n_probe: int = 30, **predictor_kw):
+    """Real probe_fn for ``choose_block_size``: builds a StreamingPredictor
+    at block size k (one compile per k — cached by the persistent XLA
+    compilation cache across sessions), then times ``n_probe`` push_block
+    dispatches on synthetic frames."""
+    import time
+
+    rng = np.random.default_rng(0)
+
+    def probe(k: int):
+        sp = StreamingPredictor(model, params, batch_stats, seq_len=seq_len,
+                                crop_size=crop_size, block_size=k,
+                                compute_dtype=compute_dtype, **predictor_kw)
+        if predictor_kw.get("modality", "video") == "0D":
+            frames = rng.standard_normal(
+                (k, predictor_kw.get("n_features", 18))).astype(np.float32)
+        else:
+            frames = rng.integers(0, 255, size=(k, crop_size, crop_size, 3),
+                                  dtype=np.uint8)
+        sp.push_block(frames)          # compile + warm
+        times = []
+        for _ in range(n_probe):
+            t0 = time.perf_counter()
+            sp.push_block(frames)
+            times.append(time.perf_counter() - t0)
+        return times
+
+    return probe

@@ -124,6 +124,59 @@ class TestMicroBatchedPush:
         assert np.isfinite(p).all() and p.shape == (4,)
 
 
+class TestChooseBlockSize:
+    """Adaptive micro-batch sizing (round-4 verdict next #6): smallest k
+    whose measured dispatch quantile holds the per-frame budget."""
+
+    FPS = 210.0
+
+    def test_picks_smallest_sustaining_k(self):
+        from kstar_tpu.infer import choose_block_size
+        # fixed 20 ms dispatch regardless of k (relay-RTT-dominated):
+        # k/fps crosses 20 ms between k=4 (19.0 ms) and k=8 (38.1 ms)
+        probed = []
+
+        def probe(k):
+            probed.append(k)
+            return [0.020] * 10
+
+        k, report = choose_block_size(probe, fps=self.FPS)
+        assert k == 8
+        assert probed == [1, 2, 4, 8]          # stops at first sustaining k
+        assert not report[4]["sustains"] and report[8]["sustains"]
+        assert report[8]["budget_s"] == pytest.approx(8 / self.FPS)
+
+    def test_no_candidate_sustains_returns_largest(self):
+        from kstar_tpu.infer import choose_block_size
+        k, report = choose_block_size(lambda k: [10.0], fps=self.FPS,
+                                      candidates=(1, 4, 16))
+        assert k == 16
+        assert not any(r["sustains"] for r in report.values())
+
+    def test_quantile_not_median_gates(self):
+        from kstar_tpu.infer import choose_block_size
+        # median fast, p99 slow: k=1 budget 4.76 ms fails on the tail
+        times = [0.001] * 29 + [0.030]
+        k, report = choose_block_size(lambda k: times, fps=self.FPS,
+                                      candidates=(1, 8))
+        assert k == 8 and not report[1]["sustains"]
+
+    def test_probe_stream_blocks_real_predictor(self):
+        # tiny 0D-modality predictor: the probe factory round-trips through
+        # a real StreamingPredictor and returns positive timings
+        from kstar_tpu.infer import probe_stream_blocks
+
+        class TinyModel:
+            def apply(self, variables, x, train=False):
+                return jnp.zeros((x.shape[0], 2), jnp.float32)
+
+        probe = probe_stream_blocks(TinyModel(), {}, {}, seq_len=4,
+                                    crop_size=8, n_probe=3, modality="0D",
+                                    n_features=3)
+        times = probe(2)
+        assert len(times) == 3 and all(t > 0 for t in times)
+
+
 @pytest.mark.skipif(jax.default_backend() == "cpu",
                     reason="real-time budget is a TPU-hardware property")
 def test_streaming_budget_210fps_tpu():
