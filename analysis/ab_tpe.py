@@ -36,21 +36,25 @@ RESULTS = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "results")
 
 BUDGET = dict(n_trials=16,
-              max_epochs=int(os.environ.get("KSTAR_AB_TPE_EPOCHS", "8")),
-              grace_period=int(os.environ.get("KSTAR_AB_TPE_GRACE", "2")),
+              max_epochs=int(os.environ.get("KSTAR_AB_TPE_EPOCHS", "4")),
+              grace_period=int(os.environ.get("KSTAR_AB_TPE_GRACE", "1")),
               reduction_factor=2)
 # overridable for CPU smoke runs (KSTAR_AB_TPE_SHOTS=8 KSTAR_AB_TPE_FRAMES=1260;
 # below ~2*dist+seq_len usable rows per shot the windows go single-class and
 # the CLI refuses to run — the objective would be a constant 0.5)
 SHOTS = os.environ.get("KSTAR_AB_TPE_SHOTS", "24")
 FRAMES = os.environ.get("KSTAR_AB_TPE_FRAMES", "1260")
+# round-4 verdict weak #4: at difficulty 1.0 / 8 epochs both arms saturate
+# validation F1 (0.9963+ means the comparison is selection noise among tied
+# configs). Headroom comes from a harder fixture AND a tighter epoch budget.
+DIFFICULTY = os.environ.get("KSTAR_AB_TPE_DIFF", "2.5")
 
 
 def run_arm(search: str, seed: int, n_trials: int):
     tmp = tempfile.mkdtemp(prefix=f"hpo_{search}_")
     argv = [
         "--model", "Transformer", "--synthetic",
-        "--synthetic_difficulty", "1.0",
+        "--synthetic_difficulty", DIFFICULTY,
         "--synthetic_shots", SHOTS, "--synthetic_frames", FRAMES,
         "--seq_len", "21", "--dist", "105",
         "--n_trials", str(n_trials),
@@ -81,7 +85,7 @@ def run_arm(search: str, seed: int, n_trials: int):
 
 
 def main():
-    n_seeds = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    n_seeds = int(sys.argv[1]) if len(sys.argv) > 1 else 5
     n_trials = int(sys.argv[2]) if len(sys.argv) > 2 else BUDGET["n_trials"]
     runs = []
     for seed in range(42, 42 + n_seeds):
@@ -92,20 +96,47 @@ def main():
             print(json.dumps(r), flush=True)
             runs.append(r)
 
+    def vals(search, key):
+        return [r[key] for r in runs if r["search"] == search]
+
     def agg(search, key):
-        vs = [r[key] for r in runs if r["search"] == search]
+        vs = vals(search, key)
         return sum(vs) / len(vs)
+
+    import numpy as _np
+
+    # per-seed ladders: does the comparison actually discriminate, or are
+    # the two arms valid-F1-tied (the round-4 saturation failure mode)?
+    ladder = {}
+    for seed in sorted({r["seed"] for r in runs}):
+        by = {r["search"]: r for r in runs if r["seed"] == seed}
+        ladder[str(seed)] = {
+            "valid_f1": {s: round(by[s]["best_valid_f1"], 4) for s in by},
+            "test_f1": {s: round(by[s]["test_macro_f1"], 4) for s in by},
+            "same_config": by["random"]["best_config"] == by["tpe"]["best_config"],
+        }
+    max_valid = max(r["best_valid_f1"] for r in runs)
+    tied = sum(1 for v in ladder.values()
+               if v["valid_f1"]["random"] == v["valid_f1"]["tpe"])
 
     summary = {
         "budget": {**BUDGET, "n_trials": n_trials, "n_seeds": n_seeds},
-        "fixture": (f"synthetic 0D, difficulty 1.0, {SHOTS} shots x "
+        "fixture": (f"synthetic 0D, difficulty {DIFFICULTY}, {SHOTS} shots x "
                     f"{FRAMES} rows, seq_len 21, dist 105"),
         "mean_best_valid_f1": {s: agg(s, "best_valid_f1")
                                for s in ("random", "tpe")},
+        "median_best_valid_f1": {s: float(_np.median(vals(s, "best_valid_f1")))
+                                 for s in ("random", "tpe")},
         "mean_test_macro_f1": {s: agg(s, "test_macro_f1")
                                for s in ("random", "tpe")},
         "mean_wall_s": {s: round(agg(s, "wall_s"), 1)
                         for s in ("random", "tpe")},
+        "per_seed": ladder,
+        "saturation_check": {
+            "max_best_valid_f1": round(max_valid, 4),
+            "validation_headroom": max_valid < 0.99,
+            "seeds_valid_f1_tied": tied,
+        },
         "runs": runs,
         "note": "identical trial/epoch budget per arm; wall-clock shares "
                 "one process-level jit cache across arms, so quality (F1) "

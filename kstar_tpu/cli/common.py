@@ -42,6 +42,18 @@ def add_common_args(p: argparse.ArgumentParser, batch_size: int = 64) -> None:
                         "windows, swept by the alarm metrics as the "
                         "false-alarm population (eval/alarms.py)")
     p.add_argument("--synthetic_frames", type=int, default=256)
+    p.add_argument("--synthetic_eval_disrupt", type=int, default=0,
+                   help="additional DISRUPTIVE synthetic shots marked "
+                        "eval_only: held out of every train/valid/test "
+                        "split, swept only by the alarm metrics — grows the "
+                        "detection-rate population to >=16 shots so rates "
+                        "resolve, without inflating training cost")
+    p.add_argument("--synthetic_lead_s", type=float, nargs=2, default=None,
+                   metavar=("MIN", "MAX"),
+                   help="per-shot precursor lead window in seconds "
+                        "(default 0.5 2.5). Multi-second leads (e.g. 1.5 "
+                        "4.0) reproduce the reference's operational regime "
+                        "so warning-time stats are meaningful")
     p.add_argument("--train_with_normal", action="store_true",
                    help="include NON-disruptive shots in training as "
                         "negative-only windows (no reference counterpart): "
@@ -135,13 +147,16 @@ def load_data(args, need_video: bool = False, dt: float = 4.0 / 210.0):
     if args.synthetic:
         from ..data import synthetic
 
+        lead = getattr(args, "synthetic_lead_s", None)
         shots, disrupt_df, ts_df = synthetic.make_dataset(
             n_shots=getattr(args, "synthetic_shots", 10),
             n_frames=getattr(args, "synthetic_frames", 256),
             height=64, width=64, dt=dt,
             seed=args.random_seed,
             difficulty=getattr(args, "synthetic_difficulty", 0.0),
-            n_normal=getattr(args, "synthetic_normal", 0))
+            n_normal=getattr(args, "synthetic_normal", 0),
+            n_eval_disrupt=getattr(args, "synthetic_eval_disrupt", 0),
+            precursor_lead_s=tuple(lead) if lead else (0.5, 2.5))
         store = VideoStore.from_arrays({s.shot: s.frames for s in shots})
         return disrupt_df, ts_df, store
 
@@ -191,6 +206,18 @@ def split_normal_shots(disrupt_df, shots):
         normal = set(disrupt_df.shot[~np.isfinite(disrupt_df.tipminf)].tolist())
     return ([s for s in shots if s not in normal],
             [s for s in shots if s in normal])
+
+
+def split_eval_only_shots(disrupt_df, shots):
+    """Partition a shot list into (splittable, eval_only) per the shot log's
+    eval_only flag (absent = all splittable). Eval-only shots never enter a
+    train/valid/test window split; they exist purely to grow the alarm
+    sweeps' detection/false-alarm populations to rate-resolving size
+    (--synthetic_eval_disrupt)."""
+    if "eval_only" not in disrupt_df.columns:
+        return list(shots), []
+    ev = set(disrupt_df.shot[disrupt_df.eval_only.astype(bool)].tolist())
+    return ([s for s in shots if s not in ev], [s for s in shots if s in ev])
 
 
 def make_tag(model: str, args, loss_cfg, train_cfg) -> str:
@@ -260,8 +287,8 @@ def write_alarm_artifacts(curves, threshold, save_dir, tag,
     definitions (eval/alarms.py)."""
     import json as _json
 
-    from ..eval import (dwell_tradeoff_from_curves, score_alarms,
-                        threshold_tradeoff_from_curves)
+    from ..eval import (dwell_tradeoff_from_curves, operating_grid_from_curves,
+                        score_alarms, threshold_tradeoff_from_curves)
 
     res = score_alarms(curves, threshold, min_dwell_s=min_dwell_s)
     print(f"alarm summary: {res['summary']}")
@@ -282,6 +309,23 @@ def write_alarm_artifacts(curves, threshold, save_dir, tag,
     dwell.to_csv(
         os.path.join(save_dir, f"{tag}_dwell_tradeoff.csv"), index=False)
     print(dwell.to_string(index=False))
+
+    # the full threshold x dwell operating surface: shows directly which
+    # operating points reach detection 1.0 / FPR 0 (or that none does, and
+    # which axis fails) — the combined artifact round-4 verdict asked for
+    grid = operating_grid_from_curves(curves)
+    grid.to_csv(
+        os.path.join(save_dir, f"{tag}_operating_grid.csv"), index=False)
+    best = grid[(grid.detection_rate >= 1.0)
+                & (grid.false_alarm_rate.fillna(0) <= 0.0)]
+    if len(best):
+        b = best.sort_values("warning_p50_s", ascending=False).iloc[0]
+        print(f"operating points with detection 1.0 / FPR 0: {len(best)} "
+              f"(best warning_p50 {b.warning_p50_s:.2f}s at threshold "
+              f"{b.threshold}, dwell {b.min_dwell_s}s)")
+    else:
+        print("no operating point reaches detection 1.0 / FPR 0 "
+              f"({tag}_operating_grid.csv records the full surface)")
     return res
 
 

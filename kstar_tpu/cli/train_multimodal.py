@@ -88,6 +88,8 @@ def main(argv=None):
     disrupt_df, ts_df, store = load_data(args, need_video=True, dt=dt)
     shots = sorted(store.arrays.keys())
     shots, normal_s = split_normal_shots(disrupt_df, shots)
+    from .common import split_eval_only_shots
+    shots, eval_disrupt_s = split_eval_only_shots(disrupt_df, shots)
     # seeded random split (reference preparing_multi_data, utility.py:121-172)
     train_s, valid_s, test_s = random_split_shots(shots, test_shot, seed=42)
     from .common import resolve_normal_splits
@@ -227,7 +229,9 @@ def main(argv=None):
             # under --train_with_normal only the HELD-OUT test normals
             curves = sweep_multimodal_prob_curves(
                 model, state.params, state.batch_stats, store, ts_df,
-                disrupt_df, list(test_s) + list(sweep_normals), cols, scaler,
+                disrupt_df,
+                list(test_s) + list(eval_disrupt_s) + list(sweep_normals),
+                cols, scaler,
                 seq_len=args.seq_len,
                 dist=args.dist, dt=dt, tau=args.tau, crop_size=crop,
                 batch_size=args.batch_size, compute_dtype=dtype)

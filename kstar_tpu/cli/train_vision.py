@@ -122,6 +122,8 @@ def main(argv=None):
     disrupt_df, ts_df, store = load_data(args, need_video=True)
     shots = sorted(store.arrays.keys())
     shots, normal_s = split_normal_shots(disrupt_df, shots)
+    from .common import split_eval_only_shots
+    shots, eval_disrupt_s = split_eval_only_shots(disrupt_df, shots)
     train_s, valid_s, test_s = split_shots(shots, test_shot)
     from .common import resolve_normal_splits
     train_n, valid_n, test_n, sweep_normals, inc_normal = resolve_normal_splits(
@@ -261,7 +263,8 @@ def main(argv=None):
             # --train_with_normal only the HELD-OUT test normals are swept
             curves = emit_alarm_artifacts(
                 model, state, store, disrupt_df,
-                list(test_s) + list(sweep_normals), seq_len=seq_len,
+                list(test_s) + list(eval_disrupt_s) + list(sweep_normals),
+                seq_len=seq_len,
                 dist=args.dist, crop=crop, batch_size=args.batch_size,
                 dtype=dtype, threshold=args.threshold,
                 save_dir=args.save_dir, tag=tag,

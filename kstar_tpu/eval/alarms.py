@@ -357,6 +357,38 @@ def dwell_tradeoff_from_curves(
     return pd.DataFrame(rows)
 
 
+def operating_grid_from_curves(
+    curves,
+    thresholds: Sequence[float] = (0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9),
+    dwells: Sequence[float] = (0.0, 0.05, 0.1, 0.2, 0.4),
+    t_min: float = 1.0,
+) -> pd.DataFrame:
+    """Full threshold x dwell operating surface (round-4 verdict next #2):
+    every (threshold, min_dwell_s) combination rescored on the held curves,
+    so the artifact shows directly WHICH operating points — if any — reach
+    detection 1.0 / false-alarm 0, and which axis fails where none does.
+    Host-only rescoring like the 1-D trade-offs; cost is O(grid x shots)
+    numpy, no device work."""
+    rows = []
+    for thr in thresholds:
+        for dw in dwells:
+            s = score_alarms(curves, thr, t_min, dw)["summary"]
+            rows.append({
+                "threshold": thr,
+                "min_dwell_s": dw,
+                "detection_rate": s["detection_rate"],
+                "detection_rate_recoverable": s["detection_rate_recoverable"],
+                "warning_p50_s": s["warning_p50_s"],
+                "warning_p90_s": s["warning_p90_s"],
+                "n_detected": s["detected"],
+                "n_premature": s["premature"],
+                "false_alarm_rate": s["false_alarm_rate"],
+                "false_alarm_time_frac": s["false_alarm_time_frac"],
+                "n_false_alarms": s["false_alarms"],
+            })
+    return pd.DataFrame(rows)
+
+
 def multimodal_threshold_sweep(
     model, params, batch_stats, store, ts_df, disrupt_df, shots, cols, scaler,
     thresholds: Sequence[float] = (0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9),

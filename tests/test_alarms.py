@@ -522,6 +522,32 @@ class TestDwellRule:
         assert df.false_alarm_rate.iloc[0] == 1.0
         assert df.false_alarm_rate.iloc[1] == 0.0
 
+    def test_operating_grid_covers_threshold_x_dwell(self):
+        from kstar_tpu.eval import (dwell_tradeoff_from_curves,
+                                    operating_grid_from_curves,
+                                    threshold_tradeoff_from_curves)
+        t_d, p_d = self._curve([(800, 1000)])
+        t_n, p_n = self._curve([(700, 706)])
+        curves = [
+            (1, self._row(True, tipminf=9.5), t_d, p_d),
+            (2, self._row(False), t_n, p_n),
+        ]
+        grid = operating_grid_from_curves(curves, thresholds=(0.5, 0.9),
+                                          dwells=(0.0, 0.2))
+        assert len(grid) == 4
+        # grid rows must equal the 1-D trade-offs at the shared axes
+        thr = threshold_tradeoff_from_curves(curves, thresholds=(0.5, 0.9))
+        dw = dwell_tradeoff_from_curves(curves, dwells=(0.0, 0.2),
+                                        threshold=0.5)
+        g00 = grid[(grid.threshold == 0.5) & (grid.min_dwell_s == 0.0)].iloc[0]
+        assert g00.detection_rate == thr.iloc[0].detection_rate
+        assert g00.false_alarm_rate == dw.iloc[0].false_alarm_rate
+        # the (0.5, 0.2) point kills the 60 ms spike but keeps detection
+        g_best = grid[(grid.threshold == 0.5)
+                      & (grid.min_dwell_s == 0.2)].iloc[0]
+        assert g_best.detection_rate == 1.0
+        assert g_best.false_alarm_rate == 0.0
+
     def test_streaming_dwell_matches_offline(self):
         from kstar_tpu.infer.streaming import StreamingPredictor
         sp = StreamingPredictor(None, None, None, seq_len=2, fps=self.FPS,

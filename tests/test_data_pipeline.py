@@ -102,3 +102,52 @@ def test_epoch_batches_small_dataset_still_yields():
     batches = list(epoch_batches(10, 64, np.random.default_rng(0)))
     assert len(batches) == 1 and len(batches[0]) == 64
     assert set(batches[0]) == set(range(10))
+
+
+class TestEvalOnlyShots:
+    """--synthetic_eval_disrupt machinery: extra disruptive shots marked
+    eval_only grow the alarm populations without entering any split."""
+
+    def test_make_dataset_eval_only_flags(self):
+        from kstar_tpu.data import synthetic
+        shots, df, ts_df = synthetic.make_dataset(
+            n_shots=3, n_frames=64, height=8, width=8, seed=0,
+            difficulty=1.0, n_normal=2, n_eval_disrupt=4)
+        assert len(shots) == 9
+        assert df.eval_only.tolist() == [False] * 5 + [True] * 4
+        # eval-only shots are disruptive (finite quench times)
+        ev = df[df.eval_only]
+        assert ev.is_disrupt.all() and np.isfinite(ev.tipminf).all()
+        # and have 0D rows like any other shot
+        assert set(ev.shot) <= set(ts_df.shot)
+
+    def test_split_eval_only_shots(self):
+        from kstar_tpu.cli.common import split_eval_only_shots
+        from kstar_tpu.data import synthetic
+        shots, df, _ = synthetic.make_dataset(
+            n_shots=3, n_frames=64, height=8, width=8, seed=0,
+            n_eval_disrupt=2)
+        ids = [s.shot for s in shots]
+        splittable, ev = split_eval_only_shots(df, ids)
+        assert ev == ids[-2:] and splittable == ids[:-2]
+        # shot log without the column: everything splittable (real data)
+        splittable2, ev2 = split_eval_only_shots(df.drop(columns="eval_only"),
+                                                 ids)
+        assert splittable2 == ids and ev2 == []
+
+    def test_precursor_lead_range_respected(self):
+        from kstar_tpu.data import synthetic
+        # 12 s shots, multi-second leads: every drawn lead must land in the
+        # configured window (the reference regime for warning-time stats)
+        for i in range(4):
+            s = synthetic.make_shot(31000 + i, n_frames=2520, height=8,
+                                    width=8, seed=1, difficulty=1.0,
+                                    precursor_lead_s=(1.5, 4.0))
+            assert 1.5 - 1e-6 <= s.lead_s <= 4.0
+        # default window unchanged (CI fixture)
+        s = synthetic.make_shot(31010, n_frames=2520, height=8, width=8,
+                                seed=1, difficulty=1.0)
+        assert 0.0 < s.lead_s <= 2.5
+        # no precursor without difficulty / for normal shots
+        assert synthetic.make_shot(31011, n_frames=256, height=8, width=8,
+                                   seed=1).lead_s == 0.0
