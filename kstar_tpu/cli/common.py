@@ -48,6 +48,11 @@ def add_common_args(p: argparse.ArgumentParser, batch_size: int = 64) -> None:
                         "split, swept only by the alarm metrics — grows the "
                         "detection-rate population to >=16 shots so rates "
                         "resolve, without inflating training cost")
+    p.add_argument("--synthetic_eval_normal", type=int, default=0,
+                   help="additional NON-disruptive eval_only shots: the "
+                        "false-alarm analogue of --synthetic_eval_disrupt "
+                        "(useful with --train_with_normal, where only the "
+                        "held-out test normals are otherwise swept)")
     p.add_argument("--synthetic_lead_s", type=float, nargs=2, default=None,
                    metavar=("MIN", "MAX"),
                    help="per-shot precursor lead window in seconds "
@@ -156,6 +161,7 @@ def load_data(args, need_video: bool = False, dt: float = 4.0 / 210.0):
             difficulty=getattr(args, "synthetic_difficulty", 0.0),
             n_normal=getattr(args, "synthetic_normal", 0),
             n_eval_disrupt=getattr(args, "synthetic_eval_disrupt", 0),
+            n_eval_normal=getattr(args, "synthetic_eval_normal", 0),
             precursor_lead_s=tuple(lead) if lead else (0.5, 2.5))
         store = VideoStore.from_arrays({s.shot: s.frames for s in shots})
         return disrupt_df, ts_df, store
@@ -218,6 +224,18 @@ def split_eval_only_shots(disrupt_df, shots):
         return list(shots), []
     ev = set(disrupt_df.shot[disrupt_df.eval_only.astype(bool)].tolist())
     return ([s for s in shots if s not in ev], [s for s in shots if s in ev])
+
+
+def partition_shots(disrupt_df, shots):
+    """One-stop split for the train/eval CLIs:
+    ``(disrupt_splittable, normal_splittable, eval_disrupt, eval_normal)``.
+    Eval-only shots (either class) are carved off FIRST so they can never
+    leak into a train/valid/test split — including the normal-shot split
+    under --train_with_normal."""
+    core, ev = split_eval_only_shots(disrupt_df, shots)
+    d, n = split_normal_shots(disrupt_df, core)
+    ev_d, ev_n = split_normal_shots(disrupt_df, ev)
+    return d, n, ev_d, ev_n
 
 
 def make_tag(model: str, args, loss_cfg, train_cfg) -> str:

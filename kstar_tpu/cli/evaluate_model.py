@@ -161,10 +161,9 @@ def main(argv=None):
         # strip non-disruptive shots BEFORE splitting, exactly as the trainer
         # does — otherwise --synthetic_normal > 0 shifts the split and this
         # reload evaluates a different test population than training saw
-        from .common import (resolve_normal_splits, split_eval_only_shots,
-                             split_normal_shots)
-        shots, normal_s = split_normal_shots(disrupt_df, shots)
-        shots, eval_disrupt_s = split_eval_only_shots(disrupt_df, shots)
+        from .common import partition_shots, resolve_normal_splits
+        shots, normal_s, eval_disrupt_s, eval_normal_s = partition_shots(
+            disrupt_df, shots)
         train_s, valid_s, test_s = random_split_shots(shots, test_shot, seed=42)
         train_n, _, test_n, sweep_normals, inc_normal = resolve_normal_splits(
             args, normal_s, lambda ss: random_split_shots(ss, None, seed=42))
@@ -226,7 +225,8 @@ def main(argv=None):
             curves = sweep_multimodal_prob_curves(
                 model, state.params, state.batch_stats, store, ts_df,
                 disrupt_df,
-                list(test_s) + list(eval_disrupt_s) + list(sweep_normals),
+                list(test_s) + list(eval_disrupt_s) + list(sweep_normals)
+                + list(eval_normal_s),
                 cols, scaler,
                 seq_len=args.seq_len, dist=args.dist, dt=dt, tau=args.tau,
                 crop_size=crop, batch_size=args.batch_size,
@@ -253,10 +253,10 @@ def main(argv=None):
     test_shot = None if args.synthetic else args.test_shot_num
     disrupt_df, ts_df, store = load_data(args, need_video=True)
     shots = sorted(store.arrays.keys())
-    from .common import (resolve_normal_splits, split_eval_only_shots,
-                         split_normal_shots)
-    shots, normal_s = split_normal_shots(disrupt_df, shots)  # match train_vision's split
-    shots, eval_disrupt_s = split_eval_only_shots(disrupt_df, shots)
+    from .common import partition_shots, resolve_normal_splits
+    # match train_vision's split exactly (eval-only carved off first)
+    shots, normal_s, eval_disrupt_s, eval_normal_s = partition_shots(
+        disrupt_df, shots)
     train_s, valid_s, test_s = split_shots(shots, test_shot)
     _, _, test_n, sweep_normals, inc_normal = resolve_normal_splits(
         args, normal_s, lambda ss: split_shots(ss, None))
@@ -297,7 +297,8 @@ def main(argv=None):
 
         emit_alarm_artifacts(
             model, state, store, disrupt_df,
-            list(test_s) + list(eval_disrupt_s) + list(sweep_normals),
+            list(test_s) + list(eval_disrupt_s) + list(sweep_normals)
+            + list(eval_normal_s),
             seq_len=seq_len, dist=args.dist, crop=crop,
             batch_size=args.batch_size, dtype=dtype,
             threshold=args.threshold, save_dir=args.save_dir, tag=tag,

@@ -83,13 +83,11 @@ def main(argv=None):
     test_shot = None if args.synthetic else args.test_shot_num
 
     dt = DT_MULTI if not args.synthetic else args.synthetic_dt
-    from .common import split_normal_shots
 
     disrupt_df, ts_df, store = load_data(args, need_video=True, dt=dt)
-    shots = sorted(store.arrays.keys())
-    shots, normal_s = split_normal_shots(disrupt_df, shots)
-    from .common import split_eval_only_shots
-    shots, eval_disrupt_s = split_eval_only_shots(disrupt_df, shots)
+    from .common import partition_shots
+    shots, normal_s, eval_disrupt_s, eval_normal_s = partition_shots(
+        disrupt_df, sorted(store.arrays.keys()))
     # seeded random split (reference preparing_multi_data, utility.py:121-172)
     train_s, valid_s, test_s = random_split_shots(shots, test_shot, seed=42)
     from .common import resolve_normal_splits
@@ -230,7 +228,8 @@ def main(argv=None):
             curves = sweep_multimodal_prob_curves(
                 model, state.params, state.batch_stats, store, ts_df,
                 disrupt_df,
-                list(test_s) + list(eval_disrupt_s) + list(sweep_normals),
+                list(test_s) + list(eval_disrupt_s) + list(sweep_normals)
+                + list(eval_normal_s),
                 cols, scaler,
                 seq_len=args.seq_len,
                 dist=args.dist, dt=dt, tau=args.tau, crop_size=crop,

@@ -117,13 +117,10 @@ def main(argv=None):
     train_cfg, loss_cfg, optim_cfg = configs_from_args(args)
     test_shot = None if args.synthetic else args.test_shot_num
 
-    from .common import split_normal_shots
-
     disrupt_df, ts_df, store = load_data(args, need_video=True)
-    shots = sorted(store.arrays.keys())
-    shots, normal_s = split_normal_shots(disrupt_df, shots)
-    from .common import split_eval_only_shots
-    shots, eval_disrupt_s = split_eval_only_shots(disrupt_df, shots)
+    from .common import partition_shots
+    shots, normal_s, eval_disrupt_s, eval_normal_s = partition_shots(
+        disrupt_df, sorted(store.arrays.keys()))
     train_s, valid_s, test_s = split_shots(shots, test_shot)
     from .common import resolve_normal_splits
     train_n, valid_n, test_n, sweep_normals, inc_normal = resolve_normal_splits(
@@ -263,7 +260,8 @@ def main(argv=None):
             # --train_with_normal only the HELD-OUT test normals are swept
             curves = emit_alarm_artifacts(
                 model, state, store, disrupt_df,
-                list(test_s) + list(eval_disrupt_s) + list(sweep_normals),
+                list(test_s) + list(eval_disrupt_s) + list(sweep_normals)
+                + list(eval_normal_s),
                 seq_len=seq_len,
                 dist=args.dist, crop=crop, batch_size=args.batch_size,
                 dtype=dtype, threshold=args.threshold,

@@ -242,6 +242,7 @@ def make_dataset(
     difficulty: float = 0.0,
     n_normal: int = 0,
     n_eval_disrupt: int = 0,
+    n_eval_normal: int = 0,
     precursor_lead_s: Tuple[float, float] = (0.5, 2.5),
 ):
     """Generate a small multi-shot dataset.
@@ -252,13 +253,14 @@ def make_dataset(
     ``is_disrupt`` flag. ``n_normal`` appends that many NON-disruptive shots
     (controlled ramp-down, no quench/precursor; NaN quench times) after the
     disruptive ones — the negative population for false-alarm measurement.
-    ``n_eval_disrupt`` appends that many additional DISRUPTIVE shots marked
-    ``eval_only`` in the shot log: the train CLIs keep them out of every
-    train/valid/test window split and only the alarm sweeps see them, so
-    detection/false-alarm rates can be computed over populations large
-    enough to resolve a rate (>=16 shots, round-4 verdict weak #2) without
-    inflating training cost. ``precursor_lead_s`` widens the per-shot
-    precursor lead window (multi-second leads = the reference regime)."""
+    ``n_eval_disrupt`` / ``n_eval_normal`` append that many additional
+    DISRUPTIVE / NON-disruptive shots marked ``eval_only`` in the shot log:
+    the train CLIs keep them out of every train/valid/test window split and
+    only the alarm sweeps see them, so detection/false-alarm rates can be
+    computed over populations large enough to resolve a rate (>=16 shots,
+    round-4 verdict weak #2) without inflating training cost.
+    ``precursor_lead_s`` widens the per-shot precursor lead window
+    (multi-second leads = the reference regime)."""
     mk = lambda i, **kw: make_shot(
         first_shot + i, n_frames=n_frames + 16 * (i % 3),
         height=height, width=width, dt=dt, features=features, seed=seed,
@@ -267,7 +269,9 @@ def make_dataset(
     shots += [mk(n_shots + i, disrupt=False) for i in range(n_normal)]
     n_core = len(shots)
     shots += [mk(n_core + i) for i in range(n_eval_disrupt)]
-    eval_only = [False] * n_core + [True] * n_eval_disrupt
+    shots += [mk(n_core + n_eval_disrupt + i, disrupt=False)
+              for i in range(n_eval_normal)]
+    eval_only = [False] * n_core + [True] * (n_eval_disrupt + n_eval_normal)
     disrupt_df = pd.DataFrame(
         {
             "shot": [s.shot for s in shots],

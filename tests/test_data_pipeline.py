@@ -135,6 +135,20 @@ class TestEvalOnlyShots:
                                                  ids)
         assert splittable2 == ids and ev2 == []
 
+    def test_partition_shots_four_way(self):
+        from kstar_tpu.cli.common import partition_shots
+        from kstar_tpu.data import synthetic
+        shots, df, _ = synthetic.make_dataset(
+            n_shots=3, n_frames=64, height=8, width=8, seed=0,
+            n_normal=2, n_eval_disrupt=2, n_eval_normal=3)
+        ids = [s.shot for s in shots]
+        d, n, ev_d, ev_n = partition_shots(df, ids)
+        assert d == ids[:3] and n == ids[3:5]
+        assert ev_d == ids[5:7] and ev_n == ids[7:10]
+        # eval-only normals really are non-disruptive
+        sub = df[df.shot.isin(ev_n)]
+        assert (~sub.is_disrupt.astype(bool)).all()
+
     def test_precursor_lead_range_respected(self):
         from kstar_tpu.data import synthetic
         # 12 s shots, multi-second leads: every drawn lead must land in the
