@@ -82,28 +82,45 @@ def main():
             probs = sw.sweep_shots(frames_list, starts_list)
             t_cold = time.perf_counter() - t0
             assert all(np.isfinite(p).all() for p in probs)
+            tm = {}
             t0 = time.perf_counter()
-            probs = sw.sweep_shots(frames_list, starts_list)
+            probs = sw.sweep_shots(frames_list, starts_list, timings=tm)
             t_warm = time.perf_counter() - t0
-            results[name] = (pad, t_warm)
+            results[name] = (pad, t_warm, tm)
+            gbps = tm["h2d_bytes"] / max(tm["h2d_s"], 1e-9) / 2**30
             print(f"  {name:10s}: frame padding x{pad:.3f} | cold "
                   f"{t_cold:.1f} s | steady {t_warm:.1f} s = "
                   f"{n_windows / t_warm:,.0f} clips/s "
-                  f"({t_warm / n_shots * 1e3:.0f} ms/shot)")
+                  f"({t_warm / n_shots * 1e3:.0f} ms/shot)\n"
+                  f"    breakdown: host prep {tm['host_prep_s']:.1f} s | "
+                  f"h2d {tm['h2d_s']:.1f} s "
+                  f"({tm['h2d_bytes'] / 2**30:.2f} GiB at {gbps:.3f} GiB/s) | "
+                  f"device dispatch {tm['dispatch_s']:.1f} s = "
+                  f"{n_windows / tm['dispatch_s']:,.0f} clips/s on-device")
     finally:
         C.bucket_len = orig
 
-    # per-shot path for comparison (subset, steady state)
+    # per-shot path for comparison (subset, steady state). Timed BOTH ways:
+    # with upload (the honest end-to-end per-new-shot cost, what the library
+    # sweep's h2d phase also pays) and device-resident (pure dispatch).
     sub = list(range(0, n_shots, max(n_shots // 8, 1)))[:8]
     devs = [sw.upload_shot(frames_list[i]) for i in sub]
     for d, i in zip(devs, sub):
         sw.sweep_device(d, starts_list[i])            # compile each bucket
     t0 = time.perf_counter()
+    for i in sub:
+        d = sw.upload_shot(frames_list[i])
+        sw.sweep_device(d, starts_list[i])
+    per_shot_e2e = (time.perf_counter() - t0) / len(sub)
+    t0 = time.perf_counter()
     for d, i in zip(devs, sub):
         sw.sweep_device(d, starts_list[i])
     per_shot = (time.perf_counter() - t0) / len(sub)
-    print(f"  per-shot path: {per_shot * 1e3:.0f} ms/shot "
-          f"(library sweep: {results['sub-octave'][1] / n_shots * 1e3:.0f})")
+    tm = results["sub-octave"][2]
+    print(f"  per-shot path: {per_shot * 1e3:.0f} ms/shot device-resident, "
+          f"{per_shot_e2e * 1e3:.0f} ms/shot incl. upload "
+          f"(library sweep: {results['sub-octave'][1] / n_shots * 1e3:.0f} "
+          f"end-to-end, {tm['dispatch_s'] / n_shots * 1e3:.0f} dispatch-only)")
     print("soak OK")
 
 

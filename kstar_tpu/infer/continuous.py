@@ -332,11 +332,20 @@ class VideoSweeper:
             return 4 << 30
         return max((limit - in_use) // 2, 512 << 20)
 
-    def _sweep_group(self, cropped_list, starts_list, s_pad: int = 0) -> list:
+    def _sweep_group(self, cropped_list, starts_list, s_pad: int = 0,
+                     timings: Optional[dict] = None) -> list:
         """One device dispatch over a group of already-cropped shots: pad to
         the group's half-octave frame/chunk buckets (plus ``s_pad`` repeats
         of the last shot so every group shares the compiled program's shot
-        count), stack, scan, slice."""
+        count), stack, scan, slice.
+
+        ``timings``: optional dict accumulating the group's phase walls
+        (``host_prep_s`` pad+stack, ``h2d_s`` host->device transfer,
+        ``dispatch_s`` scan+fetch). Timing mode BLOCKS on the upload to
+        attribute it separately (the production path overlaps upload with
+        dispatch), so pass it only from measurement harnesses."""
+        import time as _time
+        t0 = _time.perf_counter() if timings is not None else 0.0
         if s_pad:
             cropped_list = list(cropped_list) + [cropped_list[-1]] * s_pad
             starts_list = list(starts_list) + [starts_list[-1]] * s_pad
@@ -358,6 +367,12 @@ class VideoSweeper:
 
         frames_stack = np.stack(stack)
         chunks_stack = np.stack(chunk_stack)
+        if timings is not None:
+            t1 = _time.perf_counter()
+            timings["host_prep_s"] = timings.get("host_prep_s", 0.0) + t1 - t0
+            timings["h2d_bytes"] = (timings.get("h2d_bytes", 0)
+                                    + frames_stack.nbytes + chunks_stack.nbytes)
+            t0 = t1
         if self.mesh is not None:
             # pad the shot axis to a multiple of the data-axis size (repeat
             # the last shot; padding results are sliced away), and lay the
@@ -373,15 +388,23 @@ class VideoSweeper:
                     [chunks_stack, np.repeat(chunks_stack[-1:], pad_s, axis=0)])
             sh = lambda x: jax.device_put(
                 x, NamedSharding(self.mesh, P("data")))
-            probs = np.asarray(self._sweep_shots(sh(frames_stack),
-                                                 sh(chunks_stack)))
+            fd, cd = sh(frames_stack), sh(chunks_stack)
         else:
-            probs = np.asarray(self._sweep_shots(
-                jax.device_put(frames_stack), jnp.asarray(chunks_stack)))
+            fd, cd = jax.device_put(frames_stack), jnp.asarray(chunks_stack)
+        if timings is not None:
+            jax.block_until_ready((fd, cd))
+            t1 = _time.perf_counter()
+            timings["h2d_s"] = timings.get("h2d_s", 0.0) + t1 - t0
+            t0 = t1
+        probs = np.asarray(self._sweep_shots(fd, cd))
+        if timings is not None:
+            timings["dispatch_s"] = (timings.get("dispatch_s", 0.0)
+                                     + _time.perf_counter() - t0)
         return [probs[i].reshape(-1)[: len(starts_list[i])] for i in range(S)]
 
     def sweep_shots(self, frames_list, starts_list,
-                    hbm_budget_bytes: Optional[int] = None) -> list:
+                    hbm_budget_bytes: Optional[int] = None,
+                    timings: Optional[dict] = None) -> list:
         """Sweep a whole shot library: shots are cropped on host, grouped
         into device-memory-sized chunks (half the free HBM by default —
         round-3 verdict weak #3: stacking hundreds of reference-scale shots
@@ -426,7 +449,7 @@ class VideoSweeper:
                 bucket_len(len(g)), s_chunk)
             probs = self._sweep_group([cropped_list[i] for i in g],
                                       [starts_list[i] for i in g],
-                                      s_pad=target - len(g))
+                                      s_pad=target - len(g), timings=timings)
             for i, p in zip(g, probs):
                 out[i] = p
         return out
