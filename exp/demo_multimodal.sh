@@ -10,8 +10,11 @@
 # Round-5 populations (round-4 verdict weak #2): 17 disruptive (4 test +
 # 13 eval_only) + 16 normal (4 core + 12 eval_only) shots in the sweep;
 # only the 20+4 core shots can enter a split. Reference regime: 12 s
-# shots, 1.5-4.0 s precursor leads, 1.5 s horizon (dist 315), 0.15 s
-# dwell at the headline operating point.
+# shots, 2.5-4.0 s precursor leads, 1.5 s horizon (dist 315), 0.15 s
+# dwell at the headline operating point. The lead minimum must exceed
+# dist/FPS: the positive window ends dist frames before the quench, so a
+# lead equal to the horizon leaves zero precursor frames inside the
+# positive window (unlearnable by construction — see exp/demo_vivit.sh).
 #
 # Variants (artifact sets in results/, see PERFORMANCE.md "Alarm quality"):
 #   (default)                         — reference pairing, disruptive-only
@@ -35,7 +38,7 @@ python -m kstar_tpu.cli.train_multimodal \
   --synthetic_normal 4 --synthetic_eval_disrupt 13 \
   --synthetic_eval_normal 12 \
   --synthetic_frames 2520 --synthetic_dt 0.004761904761904762 \
-  --synthetic_lead_s 1.5 4.0 \
+  --synthetic_lead_s 2.5 4.0 \
   --seq_len 21 --tau 4 --dist 315 --alarm_dwell_s 0.15 \
   --num_epoch 16 --batch_size 32 --use_sampling --steps_per_dispatch 8 \
   --epoch_per_GB_estimate 8 --n_epochs_GB_estimate 2 \

@@ -13,9 +13,14 @@
 # eval_only shots never enter a split (--synthetic_eval_disrupt).
 #
 # Reference regime (round-4 verdict weak #6): 12 s shots (2520 frames at
-# 210 fps), multi-second precursor leads (1.5-4.0 s), 1.5 s prediction
+# 210 fps), multi-second precursor leads (2.5-4.0 s), 1.5 s prediction
 # horizon (dist 315) — warning-time percentiles are operationally
-# meaningful, not sub-second CI artifacts. A 0.15 s dwell is the headline
+# meaningful, not sub-second CI artifacts. The lead minimum must exceed
+# dist/FPS: the positive window ENDS dist frames before the quench
+# (reference backward-stride labeling), so a lead equal to the horizon
+# puts zero precursor frames inside the positive window and the task is
+# unlearnable by construction. 2.5 s leads guarantee >=1.0 s of visible
+# precursor per positive window. A 0.15 s dwell is the headline
 # operating point (the dwell trade-off + operating grid artifacts record
 # the full surface).
 set -e
@@ -26,8 +31,8 @@ python -m kstar_tpu.cli.train_vision \
   --synthetic --synthetic_difficulty 1.0 --synthetic_shots 20 \
   --synthetic_normal 4 --synthetic_eval_disrupt 13 \
   --synthetic_eval_normal 12 --synthetic_frames 2520 \
-  --synthetic_lead_s 1.5 4.0 \
+  --synthetic_lead_s 2.5 4.0 \
   --seq_len 21 --dist 315 --alarm_dwell_s 0.15 \
-  --num_epoch 16 --batch_size 32 --use_sampling --steps_per_dispatch 8 \
+  --num_epoch 26 --batch_size 32 --use_sampling --steps_per_dispatch 8 \
   --image_size 64 --dim 64 --depth 2 --n_heads 4 --d_head 32 --scale_dim 4 \
   --tag demo_vivit --weight_dir ./weights --save_dir ./results "$@"
